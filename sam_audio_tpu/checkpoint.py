@@ -1,0 +1,433 @@
+"""Checkpoint ingestion: reference torch `checkpoint.pt` -> JAX param pytrees.
+
+The reference distributes checkpoints as HF snapshots of `config.json` +
+`checkpoint.pt` (a plain torch state_dict, loaded weights_only=True;
+reference: sam_audio/model/base.py:47-61). This module:
+
+  * `convert_sam_audio_state_dict` — key-maps a reference state_dict into our
+    param pytree, folding weight-norm (weight_g/weight_v) into plain conv
+    weights and permuting attention projections from the reference's strided
+    head split to our contiguous split (see models/dit.attention_apply note).
+  * `convert_t5_state_dict` — maps an HF T5 encoder state_dict (the text tower
+    is fetched from its own repo, reference model.py:346-359).
+  * `save_params` / `load_params` — flat .npz serialization of pytrees (plus
+    orbax for sharded checkpoints via parallel/mesh.py).
+  * `load_sam_audio` — end-to-end from_pretrained.
+
+Missing-tower policy matches the reference (model.py:346-359): text encoder,
+rankers, and span predictor are not expected in `checkpoint.pt`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from sam_audio_tpu.config import SAMAudioConfig, T5EncoderConfig
+from sam_audio_tpu.ops.conv import fold_weight_norm
+
+# Towers intentionally absent from checkpoint.pt (reference model.py:352-355).
+SKIP_REGEX = re.compile(r"(^text_encoder|^visual_ranker|^text_ranker|^span_predictor)")
+
+
+# ---------------------------------------------------------------------------
+# Flat (npz) pytree serialization
+# ---------------------------------------------------------------------------
+
+
+def flatten_pytree(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_pytree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_pytree(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_pytree(flat: Dict[str, np.ndarray]):
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+
+    def listify(node):
+        if isinstance(node, dict):
+            node = {k: listify(v) for k, v in node.items()}
+            keys = list(node.keys())
+            if keys and all(k.isdigit() for k in keys):
+                return [node[str(i)] for i in range(len(keys))]
+            return node
+        return node
+
+    return listify(root)
+
+
+def save_params(path: str, params):
+    np.savez(path, **flatten_pytree(params))
+
+
+def load_params(path: str):
+    with np.load(path) as data:
+        return unflatten_pytree({k: data[k] for k in data.files})
+
+
+# ---------------------------------------------------------------------------
+# Conversion helpers
+# ---------------------------------------------------------------------------
+
+
+def _get(sd: Dict[str, np.ndarray], key: str) -> np.ndarray:
+    """Fetch a (possibly weight-normed) weight: `key`.weight or the folded
+    `key`.weight_g/weight_v pair."""
+    if f"{key}.weight" in sd:
+        return np.asarray(sd[f"{key}.weight"])
+    if f"{key}.weight_v" in sd:
+        return np.asarray(
+            fold_weight_norm(
+                jnp.asarray(sd[f"{key}.weight_g"]),
+                jnp.asarray(sd[f"{key}.weight_v"]),
+            )
+        )
+    # torch >= 2.1 parametrized weight norm
+    if f"{key}.parametrizations.weight.original0" in sd:
+        return np.asarray(
+            fold_weight_norm(
+                jnp.asarray(sd[f"{key}.parametrizations.weight.original0"]),
+                jnp.asarray(sd[f"{key}.parametrizations.weight.original1"]),
+            )
+        )
+    raise KeyError(key)
+
+
+def _linear(sd, key, bias=True):
+    p = {"weight": jnp.asarray(_get(sd, key))}
+    if bias and f"{key}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{key}.bias"])
+    return p
+
+
+def _conv(sd, key):
+    return _linear(sd, key, bias=True)
+
+
+def _norm(sd, key, bias=False):
+    p = {"weight": jnp.asarray(sd[f"{key}.weight"])}
+    if bias and f"{key}.bias" in sd:
+        p["bias"] = jnp.asarray(sd[f"{key}.bias"])
+    return p
+
+
+def _snake(sd, key):
+    return {"alpha": jnp.asarray(sd[f"{key}.alpha"])}
+
+
+def permute_attention_heads(weight: np.ndarray, n_heads: int) -> np.ndarray:
+    """Reference splits heads stridedly (reshape(B,T,C//H,H), transformer.py:121-126):
+    torch out-channel j*H+h == our channel h*D+j. Permute projection rows."""
+    out_dim, in_dim = weight.shape
+    d = out_dim // n_heads
+    return (
+        weight.reshape(d, n_heads, in_dim).transpose(1, 0, 2).reshape(out_dim, in_dim)
+    )
+
+
+def _attention(sd, prefix, n_heads, qk_norm=True):
+    p = {}
+    for name in ("wq", "wk", "wv"):
+        w = np.asarray(_get(sd, f"{prefix}.{name}"))
+        p[name] = {"weight": jnp.asarray(permute_attention_heads(w, n_heads))}
+        if f"{prefix}.{name}.bias" in sd:
+            b = np.asarray(sd[f"{prefix}.{name}.bias"])
+            d = b.shape[0] // n_heads
+            p[name]["bias"] = jnp.asarray(
+                b.reshape(d, n_heads).T.reshape(-1)
+            )
+    p["wo"] = _linear(sd, f"{prefix}.wo")
+    if qk_norm and f"{prefix}.q_norm.weight" in sd:
+        p["q_norm"] = _norm(sd, f"{prefix}.q_norm")
+        p["k_norm"] = _norm(sd, f"{prefix}.k_norm")
+    return p
+
+
+def _projection(sd, prefix):
+    p = {"w1": _linear(sd, f"{prefix}.w1"), "w2": _linear(sd, f"{prefix}.w2")}
+    if f"{prefix}.w3.weight" in sd:
+        p["w3"] = _linear(sd, f"{prefix}.w3")
+    return p
+
+
+def _conv_block(sd, prefix):
+    return {
+        "groupnorm": _norm(sd, f"{prefix}.groupnorm", bias=True),
+        "project": _conv(sd, f"{prefix}.project"),
+    }
+
+
+def _patcher(sd, prefix):
+    p = {
+        "block1": _conv_block(sd, f"{prefix}.block.block1"),
+        "block2": _conv_block(sd, f"{prefix}.block.block2"),
+    }
+    if f"{prefix}.block.to_out.weight" in sd:
+        p["to_out"] = _conv(sd, f"{prefix}.block.to_out")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# DiT conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_dit(sd: Dict[str, np.ndarray], cfg, prefix="transformer"):
+    """cfg: TransformerConfig."""
+    layers = []
+    for i in range(cfg.n_layers):
+        lp = f"{prefix}.layers.{i}"
+        layers.append(
+            {
+                "attention": _attention(sd, f"{lp}.attention", cfg.n_heads,
+                                        cfg.qk_norm),
+                "cross_attention": _attention(sd, f"{lp}.cross_attention",
+                                              cfg.n_heads, cfg.qk_norm),
+                "feed_forward": _projection(sd, f"{lp}.feed_forward"),
+                "attention_norm": _norm(sd, f"{lp}.attention_norm"),
+                "ffn_norm": _norm(sd, f"{lp}.ffn_norm"),
+                "scale_shift_table": jnp.asarray(sd[f"{lp}.scale_shift_table"]),
+            }
+        )
+    stacked = {}
+
+    def stack(paths, trees):
+        out = {}
+        for k in trees[0]:
+            subs = [t[k] for t in trees]
+            if isinstance(subs[0], dict):
+                out[k] = stack(paths + [k], subs)
+            else:
+                out[k] = jnp.stack(subs)
+        return out
+
+    stacked = stack([], layers)
+
+    p = {
+        "layers": stacked,
+        "norm": _norm(sd, f"{prefix}.norm"),
+        "output": _linear(sd, f"{prefix}.output"),
+        "x_embedder": _patcher(sd, f"{prefix}.x_embedder"),
+        "y_embedder": {"projection": _projection(sd, f"{prefix}.y_embedder.projection")},
+        "t_embedder": {"projection": _projection(sd, f"{prefix}.t_embedder.projection")},
+        "t_block": _linear(sd, f"{prefix}.t_block"),
+        "final_layer_scale_shift_table": jnp.asarray(
+            sd[f"{prefix}.final_layer_scale_shift_table"]
+        ),
+    }
+    if f"{prefix}.y_embedder.norm.weight" in sd:
+        p["y_embedder"]["norm"] = _norm(sd, f"{prefix}.y_embedder.norm")
+    if f"{prefix}.data_proj.weight" in sd:
+        p["data_proj"] = _linear(sd, f"{prefix}.data_proj")
+    return p
+
+
+# ---------------------------------------------------------------------------
+# DAC-VAE conversion (Descript-DAC Sequential key layout)
+# ---------------------------------------------------------------------------
+
+
+def _residual_unit(sd, prefix):
+    return {
+        "snake1": _snake(sd, f"{prefix}.block.0"),
+        "conv1": _conv(sd, f"{prefix}.block.1"),
+        "snake2": _snake(sd, f"{prefix}.block.2"),
+        "conv2": _conv(sd, f"{prefix}.block.3"),
+    }
+
+
+def convert_dacvae(sd: Dict[str, np.ndarray], cfg, prefix="audio_codec",
+                   with_decoder=True):
+    """cfg: DACVAEConfig. Encoder: block.0 conv_in, block.1..n EncoderBlocks,
+    block.n+1 Snake, block.n+2 conv_out. Decoder mirrors under `model.`."""
+    n_enc = len(cfg.encoder_rates)
+    enc = {"conv_in": _conv(sd, f"{prefix}.encoder.block.0"), "blocks": []}
+    for i in range(n_enc):
+        bp = f"{prefix}.encoder.block.{1 + i}.block"
+        enc["blocks"].append(
+            {
+                "res": [_residual_unit(sd, f"{bp}.{j}") for j in range(3)],
+                "snake": _snake(sd, f"{bp}.3"),
+                "conv": _conv(sd, f"{bp}.4"),
+            }
+        )
+    enc["snake_out"] = _snake(sd, f"{prefix}.encoder.block.{n_enc + 1}")
+    enc["conv_out"] = _conv(sd, f"{prefix}.encoder.block.{n_enc + 2}")
+
+    p = {"encoder": enc, "in_proj": _conv(sd, f"{prefix}.quantizer.in_proj")}
+
+    if with_decoder:
+        n_dec = len(cfg.decoder_rates)
+        dec = {"conv_in": _conv(sd, f"{prefix}.decoder.model.0"), "blocks": []}
+        for i in range(n_dec):
+            bp = f"{prefix}.decoder.model.{1 + i}.block"
+            dec["blocks"].append(
+                {
+                    "snake": _snake(sd, f"{bp}.0"),
+                    "conv_t": _conv(sd, f"{bp}.1"),
+                    "res": [_residual_unit(sd, f"{bp}.{2 + j}") for j in range(3)],
+                }
+            )
+        dec["snake_out"] = _snake(sd, f"{prefix}.decoder.model.{n_dec + 1}")
+        dec["conv_out"] = _conv(sd, f"{prefix}.decoder.model.{n_dec + 2}")
+        p["out_proj"] = _conv(sd, f"{prefix}.quantizer.out_proj")
+        p["decoder"] = dec
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Full model conversion
+# ---------------------------------------------------------------------------
+
+
+def convert_sam_audio_state_dict(sd: Dict[str, np.ndarray], cfg: SAMAudioConfig):
+    params = {
+        "audio_codec": convert_dacvae(sd, cfg.audio_codec, "audio_codec"),
+        "transformer": convert_dit(sd, cfg.transformer, "transformer"),
+        "proj": _linear(sd, "proj"),
+        "align_masked_video": {
+            # reference align.py:17-19 uses Conv1d k=1 == Linear; squeeze kernel.
+            "conv": {
+                "weight": jnp.asarray(np.asarray(_get(sd, "align_masked_video.conv"))[..., 0]),
+                "bias": jnp.asarray(sd["align_masked_video.conv.bias"]),
+            },
+            "layer_norm": _norm(sd, "align_masked_video.layer_norm", bias=True),
+            "gate": jnp.asarray(sd["align_masked_video.gate"]),
+        },
+        "embed_anchors": {
+            "embed": {"weight": jnp.asarray(sd["embed_anchors.embed.weight"])},
+            "gate": jnp.asarray(sd["embed_anchors.gate"]),
+            "proj": _linear(sd, "embed_anchors.proj"),
+        },
+        "memory_proj": _linear(sd, "memory_proj"),
+    }
+    return params
+
+
+def convert_t5_state_dict(sd: Dict[str, np.ndarray], cfg: T5EncoderConfig):
+    """HF T5EncoderModel state_dict -> our t5 params (HF splits heads
+    contiguously; no permutation needed)."""
+    blocks = []
+    for i in range(cfg.num_layers):
+        bp = f"encoder.block.{i}"
+        blocks.append(
+            {
+                "attn": {
+                    "q": _linear(sd, f"{bp}.layer.0.SelfAttention.q", bias=False),
+                    "k": _linear(sd, f"{bp}.layer.0.SelfAttention.k", bias=False),
+                    "v": _linear(sd, f"{bp}.layer.0.SelfAttention.v", bias=False),
+                    "o": _linear(sd, f"{bp}.layer.0.SelfAttention.o", bias=False),
+                    "layer_norm": _norm(sd, f"{bp}.layer.0.layer_norm"),
+                },
+                "ff": {
+                    "wi": _linear(sd, f"{bp}.layer.1.DenseReluDense.wi", bias=False),
+                    "wo": _linear(sd, f"{bp}.layer.1.DenseReluDense.wo", bias=False),
+                    "layer_norm": _norm(sd, f"{bp}.layer.1.layer_norm"),
+                },
+            }
+        )
+
+    def stack(trees):
+        out = {}
+        for k in trees[0]:
+            subs = [t[k] for t in trees]
+            out[k] = stack(subs) if isinstance(subs[0], dict) else jnp.stack(subs)
+        return out
+
+    emb_key = "shared.weight" if "shared.weight" in sd else "encoder.embed_tokens.weight"
+    return {
+        "token_embedding": {"weight": jnp.asarray(sd[emb_key])},
+        "relative_attention_bias": {
+            "weight": jnp.asarray(
+                sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+            )
+        },
+        "blocks": stack(blocks),
+        "final_layer_norm": _norm(sd, "encoder.final_layer_norm"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# End-to-end loading
+# ---------------------------------------------------------------------------
+
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, weights_only=True, map_location="cpu")
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
+                   **config_overrides):
+    """Load from a local snapshot dir (config.json + checkpoint.pt or
+    params.npz) or an HF repo id. Returns a models.sam_audio.SAMAudio."""
+    from sam_audio_tpu.models.sam_audio import SAMAudio, sam_audio_init
+    from sam_audio_tpu.ranking import create_ranker
+    import jax
+
+    if os.path.isdir(model_id_or_path):
+        snapshot = model_id_or_path
+    else:
+        from huggingface_hub import snapshot_download
+
+        snapshot = snapshot_download(repo_id=model_id_or_path)
+
+    with open(os.path.join(snapshot, "config.json")) as fin:
+        cfg_dict = json.load(fin)
+    cfg_dict.update(config_overrides)
+    cfg = SAMAudioConfig.from_dict(cfg_dict)
+
+    npz = os.path.join(snapshot, "params.npz")
+    pt = os.path.join(snapshot, "checkpoint.pt")
+    if os.path.exists(npz):
+        params = load_params(npz)
+    elif os.path.exists(pt):
+        sd = _load_torch_state_dict(pt)
+        params = convert_sam_audio_state_dict(sd, cfg)
+    else:
+        raise FileNotFoundError(f"No params.npz or checkpoint.pt in {snapshot}")
+
+    # Text tower ships separately (reference model.py:346-359). Convert it if
+    # available locally, else random-init (tests).
+    if t5_path is not None:
+        t5sd = _load_torch_state_dict(t5_path)
+        params["text_encoder"] = convert_t5_state_dict(t5sd, cfg.text_encoder)
+    elif "text_encoder" not in params:
+        try:
+            from transformers import T5EncoderModel
+
+            m = T5EncoderModel.from_pretrained(cfg.text_encoder.name)
+            t5sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+            params["text_encoder"] = convert_t5_state_dict(t5sd, cfg.text_encoder)
+        except Exception:
+            params["text_encoder"] = sam_audio_init(
+                jax.random.PRNGKey(0), cfg
+            )["text_encoder"]
+
+    model = SAMAudio(
+        cfg, params,
+        visual_ranker=create_ranker(cfg.visual_ranker),
+        text_ranker=create_ranker(cfg.text_ranker),
+    )
+    return model

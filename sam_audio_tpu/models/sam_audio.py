@@ -1,0 +1,406 @@
+"""SAMAudio: promptable audio source separation via conditional flow matching.
+
+Top-level model matching the reference's capabilities and API
+(reference: sam_audio/model/model.py:75-362):
+
+  * `forward` — one velocity-field evaluation (noisy latents + conditioning
+    -> velocity), reference model.py:130-180.
+  * `separate` — the hot path: codec-encode, condition (text / visual /
+    anchors), integrate the ODE (midpoint, 16 steps = 32 NFE), codec-decode to
+    (target, residual) waveforms, optionally rerank k candidates.
+    Reference model.py:247-338.
+
+TPU-first structure: `separate` lowers to ONE jitted, static-shape program
+per (batch, seq, text-len, k) bucket — codec encode, the full lax.scan ODE
+loop over the DiT, and codec decode fuse into a single XLA executable, so
+the 32 DiT evaluations never bounce back to Python. Candidate expansion
+(k-reranking) is a batch-axis repeat that shards over the device mesh's data
+axis (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam_audio_tpu.config import SAMAudioConfig
+from sam_audio_tpu.models import dacvae
+from sam_audio_tpu.models.dit import dit_apply, dit_init
+from sam_audio_tpu.models.t5 import t5_encode, t5_encoder_init
+from sam_audio_tpu.ops import nn as N
+from sam_audio_tpu.ops.ode import odeint
+
+DFLT_ODE_OPT = {"method": "midpoint", "step_size": 2 / 32}
+
+
+@dataclass
+class SeparationResult:
+    """reference: sam_audio/model/model.py:68-72 (fields are per-item lists of
+    unpadded waveforms, matching the reference's actual behavior at
+    model.py:332-338)."""
+
+    target: List
+    residual: List
+    noise: Any
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def sam_audio_init(key, cfg: SAMAudioConfig, dtype=None, with_text_encoder=True):
+    dtype = dtype or jnp.dtype(cfg.param_dtype)
+    ks = jax.random.split(key, 8)
+    params = {
+        "audio_codec": dacvae.dacvae_init(ks[0], cfg.audio_codec, dtype),
+        "transformer": dit_init(ks[1], cfg.transformer, dtype),
+        "proj": N.linear_init(ks[2], cfg.in_channels, cfg.transformer.dim,
+                              bias=True, dtype=dtype),
+        "align_masked_video": N.align_modalities_init(
+            ks[3], cfg.vision_encoder.dim, cfg.transformer.dim, dtype=dtype
+        ),
+        "embed_anchors": N.embed_anchors_init(
+            ks[4], cfg.num_anchors, cfg.anchor_embedding_dim, cfg.transformer.dim,
+            dtype=dtype,
+        ),
+        "memory_proj": N.linear_init(ks[5], cfg.text_encoder.dim,
+                                     cfg.transformer.dim, bias=True, dtype=dtype),
+    }
+    if with_text_encoder:
+        params["text_encoder"] = t5_encoder_init(ks[6], cfg.text_encoder, dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Velocity field (one NFE). reference: model.py:108-180
+# ---------------------------------------------------------------------------
+
+
+def align_inputs(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
+                 masked_video_features=None, anchor_ids=None,
+                 anchor_alignment=None, compute_dtype=None):
+    x = jnp.concatenate(
+        [noisy_audio, jnp.zeros_like(audio_features), audio_features], axis=2
+    )
+    projected = N.linear(params["proj"], x, compute_dtype)
+    aligned = N.align_modalities(params["align_masked_video"], projected,
+                                 masked_video_features, compute_dtype)
+    return N.embed_anchors(params["embed_anchors"], aligned, anchor_ids,
+                           anchor_alignment, compute_dtype)
+
+
+def forward(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
+            text_features, time, masked_video_features=None, text_mask=None,
+            anchor_ids=None, anchor_alignment=None, audio_pad_mask=None,
+            compute_dtype=None):
+    """One ODE function evaluation. Shapes:
+    noisy_audio/audio_features: (B, T, 2*latent); text_features: (B, L, text_dim);
+    time: (B,). Returns velocity (B, T, out_channels)."""
+    aligned = align_inputs(params, cfg, noisy_audio, audio_features,
+                           masked_video_features, anchor_ids, anchor_alignment,
+                           compute_dtype)
+    # memory = proj(text) + sinusoidal(time) broadcast (reference model.py:170-172)
+    t_emb = N.sinusoidal_embedding(time, cfg.transformer.dim)[:, None, :]
+    if text_features is not None:
+        memory = N.linear(params["memory_proj"], text_features, compute_dtype)
+        memory = memory + t_emb.astype(memory.dtype)
+    else:
+        memory = t_emb if compute_dtype is None else t_emb.astype(compute_dtype)
+    return dit_apply(
+        params["transformer"], aligned, time, cfg=cfg.transformer,
+        padding_mask=audio_pad_mask, memory=memory,
+        memory_padding_mask=text_mask, compute_dtype=compute_dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jitted separation core
+# ---------------------------------------------------------------------------
+
+
+def _repeat_for_reranking(x, candidates: int):
+    """Batch-axis candidate expansion (reference model.py:193-206)."""
+    if x is None or candidates <= 1:
+        return x
+    return jnp.repeat(x, candidates, axis=0)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "candidates", "ode_method", "ode_step_size",
+                     "use_video"),
+)
+def separate_core(
+    params,
+    audios: jnp.ndarray,            # (B, 1, Tw)
+    text_ids: jnp.ndarray,          # (B, L)
+    text_mask: jnp.ndarray,         # (B, L) bool
+    anchor_ids: jnp.ndarray,        # (B, A)
+    anchor_alignment: jnp.ndarray,  # (B, T)
+    audio_pad_mask: jnp.ndarray,    # (B, T) bool
+    noise: jnp.ndarray,             # (B*k, T, 2*latent)
+    video_features: Optional[jnp.ndarray],  # (B, vision_dim, T) or None
+    *,
+    cfg: SAMAudioConfig,
+    candidates: int = 1,
+    ode_method: str = "midpoint",
+    ode_step_size: float = 2 / 32,
+    use_video: bool = False,
+):
+    """Encode -> condition -> ODE -> decode, one fused XLA program.
+
+    Returns wavs (B*k, 2, Tw_padded) fp32: channel 0 = target, 1 = residual.
+    """
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    acfg = cfg.audio_codec
+
+    # --- encode mixture to latents (reference model.py:182-184)
+    lat = dacvae.encode(params["audio_codec"], audios, acfg,
+                        compute_dtype=compute_dtype)  # (B, 128, T)
+    lat = jnp.swapaxes(lat, 1, 2).astype(jnp.float32)  # (B, T, 128)
+    audio_features = jnp.concatenate([lat, lat], axis=2)  # (B, T, 256)
+
+    # --- text encoding
+    text_features = t5_encode(params["text_encoder"], text_ids, text_mask,
+                              cfg.text_encoder, compute_dtype=compute_dtype)
+
+    # --- video features (zeros when no visual prompt; reference model.py:186-191)
+    if not use_video or video_features is None:
+        b, t, _ = audio_features.shape
+        video_features = jnp.zeros((b, cfg.vision_encoder.dim, t), jnp.float32)
+
+    # --- candidate expansion (reference model.py:193-206, 257)
+    k = candidates
+    audio_features_r = _repeat_for_reranking(audio_features, k)
+    text_features_r = _repeat_for_reranking(text_features, k)
+    text_mask_r = _repeat_for_reranking(text_mask, k)
+    video_features_r = _repeat_for_reranking(video_features, k)
+    anchor_ids_r = _repeat_for_reranking(anchor_ids, k)
+    anchor_alignment_r = _repeat_for_reranking(anchor_alignment, k)
+    audio_pad_mask_r = _repeat_for_reranking(audio_pad_mask, k)
+
+    bk = audio_features_r.shape[0]
+
+    def vector_field(t, y):
+        v = forward(
+            params, cfg,
+            noisy_audio=y,
+            audio_features=audio_features_r,
+            text_features=text_features_r,
+            time=jnp.broadcast_to(t, (bk,)),
+            masked_video_features=video_features_r,
+            text_mask=text_mask_r,
+            anchor_ids=anchor_ids_r,
+            anchor_alignment=anchor_alignment_r,
+            audio_pad_mask=audio_pad_mask_r,
+            compute_dtype=compute_dtype,
+        )
+        return v.astype(y.dtype)
+
+    generated = odeint(vector_field, noise.astype(jnp.float32),
+                       method=ode_method, step_size=ode_step_size)
+
+    # --- decode: (Bk, T, 2C) -> (2Bk, C, T) -> wav (Bk, 2, Tw)
+    gen = jnp.swapaxes(generated, 1, 2)  # (Bk, 2C, T)
+    c = acfg.codebook_dim
+    t_frames = gen.shape[-1]
+    stacked = gen.reshape(2 * bk, c, t_frames)
+    wavs = dacvae.decode(params["audio_codec"], stacked, acfg,
+                         compute_dtype=compute_dtype)
+    return wavs.astype(jnp.float32).reshape(bk, 2, -1)
+
+
+# ---------------------------------------------------------------------------
+# User-facing model wrapper
+# ---------------------------------------------------------------------------
+
+
+class SAMAudio:
+    """Holds (cfg, params) and provides the reference-compatible API.
+
+    Construction:
+      * `SAMAudio.from_pretrained(path_or_repo)` — load a converted checkpoint
+        (see checkpoint.py for the torch->JAX converter).
+      * `SAMAudio.init_random(key, cfg)` — random init (tests, training).
+    """
+
+    def __init__(self, cfg: SAMAudioConfig, params, tokenizer=None,
+                 visual_ranker=None, text_ranker=None, span_predictor=None):
+        self.cfg = cfg
+        self.params = params
+        self._tokenizer = tokenizer
+        self.visual_ranker = visual_ranker
+        self.text_ranker = text_ranker
+        self.span_predictor = span_predictor
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def init_random(cls, key, cfg: SAMAudioConfig, tokenizer=None):
+        return cls(cfg, sam_audio_init(key, cfg), tokenizer=tokenizer)
+
+    @classmethod
+    def from_pretrained(cls, model_id_or_path: str, **overrides):
+        from sam_audio_tpu.checkpoint import load_sam_audio
+
+        return load_sam_audio(model_id_or_path, **overrides)
+
+    # -- helpers ------------------------------------------------------------
+
+    @property
+    def sample_rate(self) -> int:
+        return self.cfg.audio_codec.sample_rate
+
+    @property
+    def hop_length(self) -> int:
+        return self.cfg.audio_codec.hop_length
+
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            from sam_audio_tpu.text_tokenizer import get_text_tokenizer
+
+            self._tokenizer = get_text_tokenizer(self.cfg.text_encoder)
+        return self._tokenizer
+
+    def _tokenize(self, descriptions: List[str]):
+        ids, mask = self.tokenizer(descriptions,
+                                   max_length=self.cfg.text_encoder.max_length)
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    def feature_idx_to_wav_idx(self, feature_idx):
+        return dacvae.feature_idx_to_wav_idx(
+            feature_idx, self.hop_length, self.sample_rate
+        )
+
+    # -- main API ------------------------------------------------------------
+
+    def separate(
+        self,
+        batch,
+        noise: Optional[jnp.ndarray] = None,
+        ode_opt: Optional[Dict[str, Any]] = None,
+        reranking_candidates: int = 1,
+        predict_spans: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> SeparationResult:
+        """Separate `batch` (a processor.Batch). Mirrors reference
+        model.py:247-338 including the `noise=` injection point used for
+        deterministic regression tests."""
+        ode_opt = ode_opt or DFLT_ODE_OPT
+        k = int(reranking_candidates)
+        cfg = self.cfg
+
+        audios = jnp.asarray(batch.audios, jnp.float32)
+        b = audios.shape[0]
+        t_frames = int(batch.anchor_alignment.shape[-1])
+        text_ids, text_mask = self._tokenize(batch.descriptions)
+
+        if predict_spans and self.span_predictor is not None and batch.anchors is None:
+            self._predict_spans_into_batch(batch, audios)
+
+        video_features = None
+        use_video = batch.masked_video is not None
+        if use_video:
+            video_features = self._encode_videos(batch.masked_video, t_frames)
+
+        latent_ch = 2 * cfg.audio_codec.codebook_dim
+        if noise is None:
+            if rng is None:
+                rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+            noise = jax.random.normal(rng, (b * k, t_frames, latent_ch),
+                                      jnp.float32)
+        else:
+            noise = jnp.asarray(noise, jnp.float32)
+            if noise.shape[0] == b and k > 1:
+                # same noise for every candidate of an item (item-major order,
+                # matching _repeat_for_reranking)
+                noise = jnp.repeat(noise, k, axis=0)
+
+        method = ode_opt.get("method", "midpoint")
+        step = ode_opt.get("step_size",
+                           ode_opt.get("options", {}).get("step_size", 2 / 32))
+
+        wavs = separate_core(
+            self.params,
+            audios,
+            text_ids,
+            text_mask,
+            jnp.asarray(batch.anchor_ids),
+            jnp.asarray(batch.anchor_alignment),
+            jnp.asarray(batch.audio_pad_mask),
+            noise,
+            video_features,
+            cfg=cfg,
+            candidates=k,
+            ode_method=method,
+            ode_step_size=float(step),
+            use_video=use_video,
+        )  # (B*k, 2, Tw)
+
+        wavs = np.asarray(jax.device_get(wavs))
+        sizes = [self.feature_idx_to_wav_idx(int(s)) for s in np.asarray(batch.sizes)]
+        target = [wavs[i * k:(i + 1) * k, 0, :sizes[i]] for i in range(b)]
+        residual = [wavs[i * k:(i + 1) * k, 1, :sizes[i]] for i in range(b)]
+
+        idxs = self._rerank(batch, target, sizes, k)
+
+        return SeparationResult(
+            target=[t[i] for t, i in zip(target, idxs)],
+            residual=[r[i] for r, i in zip(residual, idxs)],
+            noise=noise,
+        )
+
+    # -- reranking (reference model.py:306-330) ------------------------------
+
+    def _rerank(self, batch, target, sizes, k: int):
+        b = len(target)
+        if k <= 1:
+            return [0] * b
+        if batch.masked_video is not None and self.visual_ranker is not None:
+            scores = self.visual_ranker(
+                extracted_audio=target,
+                videos=batch.masked_video,
+                sample_rate=self.sample_rate,
+            )
+            return list(np.argmax(np.asarray(scores), axis=1))
+        if self.text_ranker is not None:
+            input_audio = [
+                np.broadcast_to(np.asarray(batch.audios)[i, 0, :sizes[i]],
+                                (k, sizes[i]))
+                for i in range(b)
+            ]
+            kwargs = dict(
+                extracted_audio=target,
+                input_audio=input_audio,
+                descriptions=batch.descriptions,
+                sample_rate=self.sample_rate,
+            )
+            if batch.anchors is not None:
+                kwargs["spans"] = batch.anchors
+            scores = self.text_ranker(**kwargs)
+            return list(np.argmax(np.asarray(scores), axis=1))
+        return [0] * b
+
+    # -- optional towers ------------------------------------------------------
+
+    def _encode_videos(self, masked_videos, t_frames: int):
+        from sam_audio_tpu.models.pe_clip import encode_videos  # lazy
+
+        return encode_videos(self, masked_videos, t_frames)
+
+    def _predict_spans_into_batch(self, batch, audios):
+        spans = self.span_predictor(self, batch, audios)
+        anchors = [[["+"] + list(span) for span in item] for item in spans]
+        batch.process_anchors(anchors)
+
+
+def num_params(params) -> int:
+    return sum(int(math.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
