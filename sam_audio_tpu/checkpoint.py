@@ -417,7 +417,12 @@ def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
         try:
             from transformers import T5EncoderModel
 
-            m = T5EncoderModel.from_pretrained(cfg.text_encoder.name)
+            try:  # local/cached first: no network-retry stalls when air-gapped
+                m = T5EncoderModel.from_pretrained(
+                    cfg.text_encoder.name, local_files_only=True
+                )
+            except Exception:
+                m = T5EncoderModel.from_pretrained(cfg.text_encoder.name)
             t5sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
             params["text_encoder"] = convert_t5_state_dict(t5sd, cfg.text_encoder)
         except Exception:

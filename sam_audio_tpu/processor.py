@@ -117,6 +117,10 @@ class Batch:
                     current.append(ANCHOR_VOCAB[token])
                 ids.append(current)
             longest = max(len(c) for c in ids)
+            # round the anchor-slot axis up to a multiple of 4: unused slots are
+            # <pad> (never referenced by the alignment) and this keeps the jit
+            # shape stable across prompts with different anchor counts
+            longest = 4 * ((longest + 3) // 4)
             anchor_ids = np.full((batch_size, longest), ANCHOR_VOCAB["<pad>"],
                                  np.int32)
             for i, c in enumerate(ids):

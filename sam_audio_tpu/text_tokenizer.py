@@ -18,7 +18,14 @@ class HFTokenizer:
     def __init__(self, name_or_path: str):
         from transformers import AutoTokenizer
 
-        self.tok = AutoTokenizer.from_pretrained(name_or_path)
+        try:
+            # local/cached first: avoids long network-retry stalls on
+            # air-gapped TPU hosts
+            self.tok = AutoTokenizer.from_pretrained(
+                name_or_path, local_files_only=True
+            )
+        except Exception:
+            self.tok = AutoTokenizer.from_pretrained(name_or_path)
 
     def __call__(self, texts: Sequence[str], max_length: Optional[int] = 512
                  ) -> Tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,74 @@
+import jax
+import numpy as np
+
+from sam_audio_tpu.checkpoint import (
+    flatten_pytree,
+    load_params,
+    save_params,
+    unflatten_pytree,
+)
+from sam_audio_tpu.config import tiny_test_config
+from sam_audio_tpu.models.sam_audio import sam_audio_init
+
+
+def test_flatten_unflatten_roundtrip_with_lists():
+    tree = {
+        "a": {"weight": np.ones((2, 3))},
+        "blocks": [
+            {"w": np.zeros((2,))},
+            {"w": np.ones((2,))},
+        ],
+    }
+    flat = flatten_pytree(tree)
+    assert "blocks/0/w" in flat and "a/weight" in flat
+    back = unflatten_pytree(flat)
+    assert isinstance(back["blocks"], list)
+    np.testing.assert_array_equal(np.asarray(back["blocks"][1]["w"]), [1, 1])
+
+
+def test_save_load_full_model(tmp_path):
+    cfg = tiny_test_config()
+    params = sam_audio_init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "params.npz")
+    save_params(path, params)
+    loaded = load_params(path)
+
+    flat_a = flatten_pytree(params)
+    flat_b = flatten_pytree(loaded)
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]), np.asarray(flat_b[k]))
+
+
+def test_load_sam_audio_from_dir(tmp_path):
+    import json
+
+    from sam_audio_tpu.checkpoint import load_sam_audio
+
+    cfg = tiny_test_config()
+    params = sam_audio_init(jax.random.PRNGKey(0), cfg)
+    save_params(str(tmp_path / "params.npz"), params)
+    cfg_dict = {
+        "in_channels": cfg.in_channels,
+        "audio_codec": {
+            "encoder_dim": 4, "encoder_rates": [2, 4], "latent_dim": 16,
+            "decoder_dim": 16, "decoder_rates": [4, 2], "codebook_dim": 4,
+            "sample_rate": 8000,
+        },
+        "text_encoder": {
+            "dim": 16, "num_layers": 2, "num_heads": 2, "head_dim": 8,
+            "d_ff": 32, "vocab_size": 256,
+        },
+        "transformer": {
+            "dim": 32, "n_heads": 2, "n_layers": 2, "dropout": 0.0,
+            "context_dim": 32, "max_positions": 64,
+            "frequency_embedding_dim": 8, "out_channels": 8,
+        },
+        "span_predictor": None,
+        "compute_dtype": "float32",
+    }
+    with open(tmp_path / "config.json", "w") as f:
+        json.dump(cfg_dict, f)
+    model = load_sam_audio(str(tmp_path))
+    assert model.cfg.audio_codec.hop_length == 8
+    assert "transformer" in model.params

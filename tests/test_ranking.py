@@ -1,0 +1,82 @@
+import numpy as np
+
+from sam_audio_tpu.config import (
+    SoundActivityRankerConfig,
+    parse_ranker_config,
+)
+from sam_audio_tpu.ranking import create_ranker
+from sam_audio_tpu.ranking.ranker import EnsembleRanker
+from sam_audio_tpu.ranking.sound_activity import (
+    SoundActivityRanker,
+    compute_iou_recall_precision,
+    detect_nonsilent,
+)
+
+
+def tone(duration_s, sr, freq=440.0, amp=0.5):
+    t = np.arange(int(duration_s * sr)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_iou_recall_precision():
+    res = compute_iou_recall_precision([(0.0, 1.0)], [(0.5, 1.5)])
+    assert abs(res["iou"] - 0.5 / 1.5) < 1e-9
+    assert abs(res["recall"] - 0.5) < 1e-9
+    assert abs(res["precision"] - 0.5) < 1e-9
+    assert compute_iou_recall_precision([], [(0, 1)])["iou"] == 0
+
+
+def test_detect_nonsilent_finds_tone_span():
+    sr = 24000
+    wav = np.concatenate([
+        np.zeros(sr, np.float32),          # 1s silence
+        tone(1.0, sr),                     # 1s tone
+        np.zeros(sr, np.float32),          # 1s silence
+    ])
+    spans = detect_nonsilent(wav, sr)
+    assert len(spans) == 1
+    s, e = spans[0]
+    assert 0.8 < s < 1.2
+    assert 1.8 < e < 2.2
+
+
+def test_detect_nonsilent_all_silent():
+    assert detect_nonsilent(np.zeros(24000, np.float32), 24000) == []
+
+
+def test_sound_activity_ranker_prefers_matching_candidate():
+    sr = 48000
+    cfg = SoundActivityRankerConfig()
+    ranker = SoundActivityRanker(cfg)
+    # candidate 0: tone in [1, 2]s; candidate 1: tone in [0, 1]s
+    cand0 = np.concatenate([np.zeros(sr, np.float32), tone(1.0, sr),
+                            np.zeros(sr, np.float32)])
+    cand1 = np.concatenate([tone(1.0, sr), np.zeros(2 * sr, np.float32)])
+    wavs = np.stack([cand0, cand1])
+    spans = [[["+", 1.0, 2.0]]]
+    scores = ranker(extracted_audio=[wavs], spans=spans, sample_rate=sr)
+    assert scores.shape == (1, 2)
+    assert scores[0, 0] > scores[0, 1]
+
+
+def test_ensemble_ranker_weighting():
+    class Const:
+        def __init__(self, v):
+            self.v = v
+
+        def __call__(self, **kw):
+            return np.full((2, 3), self.v, np.float32)
+
+    ens = EnsembleRanker([Const(1.0), Const(2.0)], [0.25, 0.5])
+    out = ens()
+    np.testing.assert_allclose(out, np.full((2, 3), 1.25))
+
+
+def test_factory_builds_ensemble():
+    cfg = parse_ranker_config({
+        "kind": "ensemble",
+        "rankers": {"sa": [{"kind": "sound_activity"}, 1.0]},
+    })
+    ranker = create_ranker(cfg)
+    assert isinstance(ranker, EnsembleRanker)
+    assert create_ranker(None) is None

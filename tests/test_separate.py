@@ -1,0 +1,103 @@
+"""End-to-end separation slice: processor -> SAMAudio.separate -> waveforms."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam_audio_tpu.config import tiny_test_config
+from sam_audio_tpu.models.sam_audio import SAMAudio, num_params
+from sam_audio_tpu.processor import SAMAudioProcessor
+from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+CFG = tiny_test_config()
+
+
+def make_model():
+    tok = ByteFallbackTokenizer(CFG.text_encoder.vocab_size)
+    return SAMAudio.init_random(jax.random.PRNGKey(0), CFG, tokenizer=tok)
+
+
+def make_batch(lengths=(64, 40), anchors=None):
+    p = SAMAudioProcessor(
+        audio_hop_length=CFG.audio_codec.hop_length,
+        audio_sampling_rate=CFG.audio_codec.sample_rate,
+    )
+    rng = np.random.RandomState(0)
+    audios = [rng.randn(1, n).astype(np.float32) * 0.1 for n in lengths]
+    return p(descriptions=["dog barking", "guitar"][: len(lengths)],
+             audios=audios, anchors=anchors)
+
+
+def test_separate_shapes_and_lengths():
+    model = make_model()
+    batch = make_batch()
+    res = model.separate(batch, rng=jax.random.PRNGKey(1))
+    assert len(res.target) == 2 and len(res.residual) == 2
+    # unbatched to feature_idx_to_wav_idx(ceil(size/hop)) samples
+    assert res.target[0].shape[-1] == 64
+    assert res.target[1].shape[-1] == 40  # ceil(40/8)*8
+    assert np.isfinite(res.target[0]).all()
+
+
+def test_separate_fixed_noise_deterministic():
+    model = make_model()
+    batch = make_batch()
+    t_frames = batch.anchor_alignment.shape[-1]
+    noise = np.random.RandomState(7).randn(
+        2, t_frames, 2 * CFG.audio_codec.codebook_dim
+    ).astype(np.float32)
+    r1 = model.separate(batch, noise=jnp.asarray(noise))
+    r2 = model.separate(batch, noise=jnp.asarray(noise))
+    np.testing.assert_array_equal(r1.target[0], r2.target[0])
+    np.testing.assert_array_equal(r1.residual[1], r2.residual[1])
+
+
+def test_separate_k_candidates():
+    model = make_model()
+    batch = make_batch(lengths=(48,))
+    res = model.separate(batch, reranking_candidates=3,
+                         rng=jax.random.PRNGKey(2))
+    # no ranker configured -> candidate 0 chosen; shapes per item are (T,)
+    assert res.target[0].shape == (48,)
+    assert res.noise.shape[0] == 3
+
+
+def test_separate_same_noise_per_candidate_yields_identical_candidates():
+    """With noise repeated per candidate the k outputs must be identical —
+    catches candidate-major vs item-major repeat bugs."""
+    model = make_model()
+    batch = make_batch(lengths=(48,))
+    t_frames = batch.anchor_alignment.shape[-1]
+    noise = np.random.RandomState(3).randn(
+        1, t_frames, 2 * CFG.audio_codec.codebook_dim
+    ).astype(np.float32)
+
+    class ArgmaxLast:
+        def __call__(self, extracted_audio, **kw):
+            k = extracted_audio[0].shape[0]
+            return np.tile(np.arange(k, dtype=np.float32), (len(extracted_audio), 1))
+
+    model.text_ranker = ArgmaxLast()
+    res = model.separate(batch, noise=jnp.asarray(noise), reranking_candidates=2)
+    # same noise -> all candidates equal; ranker picked index 1, same waveform
+    res0 = model.separate(batch, noise=jnp.asarray(noise), reranking_candidates=1)
+    np.testing.assert_allclose(res.target[0], res0.target[0], atol=1e-5)
+
+
+def test_separate_with_anchors():
+    model = make_model()
+    batch = make_batch(lengths=(64,), anchors=[[("+", 0.0, 0.004)]])
+    res = model.separate(batch, rng=jax.random.PRNGKey(4))
+    assert res.target[0].shape == (64,)
+    # anchors change conditioning only if gate != 0; force nonzero gate
+    model.params["embed_anchors"]["gate"] = jnp.asarray([1.0])
+    noise = np.zeros((1, 8, 8), np.float32)
+    r_anchor = model.separate(batch, noise=jnp.asarray(noise))
+    batch2 = make_batch(lengths=(64,))
+    r_plain = model.separate(batch2, noise=jnp.asarray(noise))
+    assert np.abs(r_anchor.target[0] - r_plain.target[0]).max() > 1e-6
+
+
+def test_num_params():
+    model = make_model()
+    assert num_params(model.params) > 1000
