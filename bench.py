@@ -1,0 +1,112 @@
+"""Throughput benchmark: sam-audio-large-equivalent separation on one TPU chip.
+
+Measures the BASELINE.md north-star metric: audio-seconds separated per
+wall-clock second per chip, at reranking_candidates=8 on 10 s clips — the
+full jitted pipeline (DAC-VAE encode -> T5 text encode -> 32-NFE midpoint ODE
+over the 1B-param DiT -> DAC-VAE decode to 2x8 waveforms).
+
+Prints ONE JSON line:
+  {"metric": "audio_sec_per_sec_per_chip", "value": X, "unit": "audio_sec/sec",
+   "vs_baseline": X / 8.0}
+(vs_baseline is relative to the >=8x-real-time target; the reference publishes
+no throughput numbers, BASELINE.md.)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
+         iters: int = 3):
+    from sam_audio_tpu.config import SAMAudioConfig
+    from sam_audio_tpu.models.sam_audio import num_params, sam_audio_init, separate_core
+    from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+    cfg = SAMAudioConfig(span_predictor=None, compute_dtype="bfloat16",
+                         param_dtype="bfloat16")
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    t0 = time.time()
+    params = sam_audio_init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    print(f"init: {num_params(params)/1e9:.2f}B params in {time.time()-t0:.1f}s",
+          file=sys.stderr)
+
+    sr = cfg.audio_codec.sample_rate
+    hop = cfg.audio_codec.hop_length
+    t_wav = int(seconds * sr)
+    t_wav = (t_wav // hop) * hop
+    t_frames = t_wav // hop
+
+    rng = np.random.RandomState(0)
+    audios = jnp.asarray(rng.randn(batch, 1, t_wav).astype(np.float32) * 0.1)
+    tok = ByteFallbackTokenizer(cfg.text_encoder.vocab_size)
+    ids, mask = tok(["a dog barking in the distance"] * batch)
+    text_ids = jnp.asarray(ids)
+    text_mask = jnp.asarray(mask)
+    anchor_ids = jnp.zeros((batch, 4), jnp.int32).at[:, 1:].set(3)
+    anchor_alignment = jnp.zeros((batch, t_frames), jnp.int32)
+    audio_pad_mask = jnp.ones((batch, t_frames), jnp.bool_)
+    noise = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (batch * candidates, t_frames, 2 * cfg.audio_codec.codebook_dim),
+        jnp.float32,
+    )
+
+    # On relay-attached TPU backends block_until_ready may not block; force a
+    # device->host scalar fetch to synchronize timing.
+    checksum = jax.jit(lambda w: jnp.sum(w[:, :, ::7919].astype(jnp.float32)))
+
+    def run():
+        wavs = separate_core(
+            params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
+            audio_pad_mask, noise, None,
+            cfg=cfg, candidates=candidates, use_video=False,
+        )
+        float(checksum(wavs))  # sync point
+        return wavs
+
+    t0 = time.time()
+    wavs = run()
+    compile_time = time.time() - t0
+    print(f"compile+first run: {compile_time:.1f}s, out {wavs.shape}",
+          file=sys.stderr)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    avg = float(np.mean(times))
+    p50 = float(np.median(times))
+    audio_sec = batch * t_wav / sr
+    throughput = audio_sec / avg
+    print(
+        f"per-batch {avg*1000:.0f} ms (p50 {p50*1000:.0f} ms) for {audio_sec:.0f}s"
+        f" audio at k={candidates} -> {throughput:.2f}x realtime/chip",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "audio_sec_per_sec_per_chip",
+        "value": round(throughput, 3),
+        "unit": "audio_sec/sec",
+        "vs_baseline": round(throughput / 8.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-k", "--candidates", type=int, default=8)
+    ap.add_argument("-s", "--seconds", type=float, default=10.0)
+    ap.add_argument("-b", "--batch", type=int, default=1)
+    ap.add_argument("-n", "--iters", type=int, default=3)
+    args = ap.parse_args()
+    main(args.candidates, args.seconds, args.batch, args.iters)

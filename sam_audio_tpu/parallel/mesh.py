@@ -1,0 +1,117 @@
+"""Device mesh + sharding rules.
+
+The reference's only multi-device story is NCCL data-parallel eval
+(reference: eval/main.py:53-85). The TPU-native design is richer:
+
+  * mesh axes ("dp", "tp"): batch x candidates shard over "dp", the DiT's
+    matmul dimensions shard Megatron-style over "tp" (column-parallel
+    wq/wk/wv/w1/w3, row-parallel wo/w2) — XLA inserts all_gather/
+    reduce_scatter over ICI from the shardings alone.
+  * Inference at reference scale (1B params) fits one v5e chip, so "tp"=1 and
+    "dp"=N is the serving default: k-candidate reranking and batch items
+    parallelize embarrassingly across chips.
+  * Training (not in the reference; we support it) uses dp x tp meshes with
+    sharded optimizer state.
+
+Param classification is by pytree path, so the same rules apply to randomly
+initialized and checkpoint-converted trees.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
+    """Create a (dp, tp) mesh. dp defaults to n_devices // tp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        dp = n // tp
+    assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}"
+    dev_array = np.asarray(devices[: dp * tp]).reshape(dp, tp)
+    return Mesh(dev_array, axis_names=("dp", "tp"))
+
+
+# Megatron-style tensor-parallel rules for the DiT / T5 / codec param tree.
+# Patterns are matched against "/"-joined pytree paths. Weights are
+# torch-layout (out, in) — possibly with a leading stacked-layer axis.
+_COLUMN_PARALLEL = re.compile(
+    r"(attention|cross_attention|attn)/(wq|wk|wv|q|k|v)/weight$"
+    r"|feed_forward/(w1|w3)/weight$"
+    r"|ff/wi/weight$"
+    r"|t_block/weight$"
+)
+_ROW_PARALLEL = re.compile(
+    r"(attention|cross_attention|attn)/(wo|o)/weight$"
+    r"|feed_forward/w2/weight$"
+    r"|ff/wo/weight$"
+)
+_COLUMN_BIAS = re.compile(
+    r"(attention|cross_attention)/(wq|wk|wv)/bias$|feed_forward/(w1|w3)/bias$"
+    r"|t_block/bias$"
+)
+
+
+def param_partition_spec(path: str, ndim: int) -> P:
+    """PartitionSpec for a param at `path` with `ndim` dims. Stacked layer
+    params have a leading layer axis (never sharded)."""
+    if _COLUMN_PARALLEL.search(path):
+        # (out, in) or (L, out, in): shard `out` on tp
+        return P(*([None] * (ndim - 2) + ["tp", None]))
+    if _ROW_PARALLEL.search(path):
+        # shard `in` on tp
+        return P(*([None] * (ndim - 2) + [None, "tp"]))
+    if _COLUMN_BIAS.search(path):
+        return P(*([None] * (ndim - 1) + ["tp"]))
+    return P(*([None] * ndim))
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def params_pspec_tree(params):
+    """Tree of PartitionSpecs matching `params`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: param_partition_spec(_path_str(path), np.ndim(x)), params
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    """Place params on the mesh per the TP rules (replicated when tp=1)."""
+    def place(path, x):
+        spec = param_partition_spec(_path_str(path), np.ndim(x))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard array leaves along the batch axis over "dp"."""
+    def place(x):
+        spec = P(*(["dp"] + [None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, batch)
+
+
+def process_allgather(tree):
+    """Multi-host metric aggregation (the reference's all_gather_object
+    equivalent, eval/main.py:24-27) over DCN."""
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree)

@@ -1,0 +1,150 @@
+"""Conditional flow-matching training for SAMAudio.
+
+The reference ships inference only (SURVEY.md section 0); its generation
+integrates dx/dt = v(x, t) from noise (t=0) to data (t=1) with a midpoint
+solver (reference: sam_audio/model/model.py:285-290). The matching training
+objective is rectified-flow / CFM:
+
+    x_t = (1 - t) * x0 + t * x1,   x0 ~ N(0, I),  x1 = [target || residual]
+    loss = || v_theta(x_t, t, cond) - (x1 - x0) ||^2     (masked mean)
+
+This module provides the loss, an optax-based train step, and a pjit'd
+multi-chip step with dp-sharded batches and tp-sharded params (see
+parallel/mesh.py). Gradient checkpointing (jax.checkpoint over the DiT layer
+scan) keeps HBM bounded at large batch x seq.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sam_audio_tpu.config import SAMAudioConfig
+from sam_audio_tpu.models.sam_audio import forward
+
+
+def flow_matching_loss(params, cfg: SAMAudioConfig, batch: Dict[str, Any],
+                       rng: jax.Array) -> jnp.ndarray:
+    """batch keys:
+      audio_features (B,T,2C) conditioning (stacked mixture latents),
+      target_latents (B,T,2C) = [target || residual] latents,
+      text_features (B,L,text_dim), text_mask (B,L),
+      anchor_ids (B,A), anchor_alignment (B,T), audio_pad_mask (B,T),
+      masked_video_features optional (B,vision_dim,T).
+    """
+    x1 = batch["target_latents"].astype(jnp.float32)
+    b = x1.shape[0]
+    t_rng, n_rng = jax.random.split(rng)
+    t = jax.random.uniform(t_rng, (b,), jnp.float32)
+    x0 = jax.random.normal(n_rng, x1.shape, jnp.float32)
+    xt = (1.0 - t[:, None, None]) * x0 + t[:, None, None] * x1
+    v_target = x1 - x0
+
+    v_pred = forward(
+        params, cfg,
+        noisy_audio=xt,
+        audio_features=batch["audio_features"],
+        text_features=batch["text_features"],
+        time=t,
+        masked_video_features=batch.get("masked_video_features"),
+        text_mask=batch["text_mask"],
+        anchor_ids=batch["anchor_ids"],
+        anchor_alignment=batch["anchor_alignment"],
+        audio_pad_mask=batch["audio_pad_mask"],
+        compute_dtype=jnp.dtype(cfg.compute_dtype),
+    ).astype(jnp.float32)
+
+    err = jnp.square(v_pred - v_target)
+    mask = batch["audio_pad_mask"][:, :, None].astype(jnp.float32)
+    return jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask) * err.shape[-1], 1.0)
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_train_step(cfg: SAMAudioConfig, optimizer: optax.GradientTransformation,
+                    trainable_filter=None):
+    """Returns train_step(state, batch, rng) -> (state, metrics). Pure —
+    compose with jit/pjit at the call site.
+
+    trainable_filter(path_str) -> bool can freeze towers (the reference's
+    frozen codec/text encoders)."""
+
+    def train_step(state: TrainState, batch, rng):
+        def loss_fn(params):
+            return flow_matching_loss(params, cfg, batch, rng)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            TrainState(params, opt_state, state.step + 1),
+            {"loss": loss, "grad_norm": gnorm},
+        )
+
+    return train_step
+
+
+class Trainer:
+    """Single- or multi-chip flow-matching trainer.
+
+    With a (dp, tp) mesh: params/optimizer state sharded by the TP rules,
+    batches sharded over dp; XLA derives the collectives.
+    """
+
+    def __init__(self, cfg: SAMAudioConfig, params, mesh=None,
+                 learning_rate: float = 1e-4, weight_decay: float = 0.01,
+                 grad_clip: float = 1.0):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(learning_rate, weight_decay=weight_decay),
+        )
+        step_fn = make_train_step(cfg, self.optimizer)
+
+        if mesh is not None:
+            from sam_audio_tpu.parallel.mesh import shard_batch, shard_params
+
+            params = shard_params(params, mesh)
+            self._shard_batch = lambda b: shard_batch(b, mesh)
+        else:
+            self._shard_batch = lambda b: b
+
+        opt_state = jax.jit(self.optimizer.init)(params)
+        self.state = TrainState(params, opt_state,
+                                jnp.zeros((), jnp.int32))
+        # Under jit, output shardings follow inputs; donate state buffers.
+        self._step = jax.jit(step_fn, donate_argnums=(0,))
+
+    def step(self, batch, rng) -> Dict[str, float]:
+        batch = self._shard_batch(batch)
+        self.state, metrics = self._step(self.state, batch, rng)
+        return metrics
+
+
+def synthetic_batch(cfg: SAMAudioConfig, rng: jax.Array, batch_size: int = 2,
+                    t_frames: int = 16, text_len: int = 8):
+    """Random training batch with the right shapes (tests / dryruns)."""
+    c2 = 2 * cfg.audio_codec.codebook_dim
+    ks = jax.random.split(rng, 4)
+    return {
+        "audio_features": jax.random.normal(ks[0], (batch_size, t_frames, c2)),
+        "target_latents": jax.random.normal(ks[1], (batch_size, t_frames, c2)),
+        "text_features": jax.random.normal(
+            ks[2], (batch_size, text_len, cfg.text_encoder.dim)
+        ),
+        "text_mask": jnp.ones((batch_size, text_len), bool),
+        "anchor_ids": jnp.zeros((batch_size, 4), jnp.int32)
+        .at[:, 1:].set(3),
+        "anchor_alignment": jnp.zeros((batch_size, t_frames), jnp.int32),
+        "audio_pad_mask": jnp.ones((batch_size, t_frames), bool),
+    }
