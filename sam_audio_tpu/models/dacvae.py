@@ -31,7 +31,7 @@ with the reference's reflect-padding of the waveform to a hop multiple
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +55,17 @@ def _residual_unit_init(key, dim, dilation, dtype=jnp.float32):
     }
 
 
-def _residual_unit_apply(params, x, dilation, compute_dtype=None):
+def _residual_unit_apply(params, x, dilation, compute_dtype=None,
+                         use_fused=False):
+    if use_fused:
+        from sam_audio_tpu.ops.fused_conv import fused_residual_unit
+
+        out = fused_residual_unit(
+            params, x, dilation,
+            compute_dtype=compute_dtype if compute_dtype is not None else x.dtype,
+        )
+        if out is not None:
+            return out.astype(x.dtype)
     pad = ((7 - 1) * dilation) // 2
     h = C.snake(params["snake1"], x)
     h = C.conv1d(params["conv1"], h, padding=pad, dilation=dilation,
@@ -92,12 +102,13 @@ def encoder_init(key, cfg: DACVAEConfig, dtype=jnp.float32):
     return p
 
 
-def encoder_apply(params, x, cfg: DACVAEConfig, compute_dtype=None):
+def encoder_apply(params, x, cfg: DACVAEConfig, compute_dtype=None,
+                  use_fused=False):
     """x: (B, 1, T) waveform -> (B, latent_dim, T/hop)."""
     h = C.conv1d(params["conv_in"], x, padding=3, compute_dtype=compute_dtype)
     for block, stride in zip(params["blocks"], cfg.encoder_rates):
         for res, dil in zip(block["res"], (1, 3, 9)):
-            h = _residual_unit_apply(res, h, dil, compute_dtype)
+            h = _residual_unit_apply(res, h, dil, compute_dtype, use_fused)
         h = C.snake(block["snake"], h)
         h = C.conv1d(block["conv"], h, stride=stride,
                      padding=math.ceil(stride / 2), compute_dtype=compute_dtype)
@@ -136,7 +147,8 @@ def decoder_init(key, cfg: DACVAEConfig, dtype=jnp.float32):
     return p
 
 
-def decoder_apply(params, z, cfg: DACVAEConfig, compute_dtype=None):
+def decoder_apply(params, z, cfg: DACVAEConfig, compute_dtype=None,
+                  use_fused=False):
     """z: (B, latent_dim, T) -> (B, 1, T*hop)."""
     h = C.conv1d(params["conv_in"], z, padding=3, compute_dtype=compute_dtype)
     for block, stride in zip(params["blocks"], cfg.decoder_rates):
@@ -145,7 +157,7 @@ def decoder_apply(params, z, cfg: DACVAEConfig, compute_dtype=None):
                                padding=math.ceil(stride / 2),
                                compute_dtype=compute_dtype)
         for res, dil in zip(block["res"], (1, 3, 9)):
-            h = _residual_unit_apply(res, h, dil, compute_dtype)
+            h = _residual_unit_apply(res, h, dil, compute_dtype, use_fused)
     h = C.snake(params["snake_out"], h)
     h = C.conv1d(params["conv_out"], h, padding=3, compute_dtype=compute_dtype)
     return jnp.tanh(h)
@@ -181,14 +193,17 @@ def pad_to_hop(wav: jnp.ndarray, hop_length: int) -> jnp.ndarray:
     return C.pad1d(wav, (0, hop_length - rem), mode="reflect")
 
 
-def encode(params, wav: jnp.ndarray, cfg: DACVAEConfig, compute_dtype=None):
+def encode(params, wav: jnp.ndarray, cfg: DACVAEConfig, compute_dtype=None,
+           use_fused: Optional[bool] = None):
     """wav: (B, 1, T) -> mean latents (B, codebook_dim, ceil(T/hop)).
 
     Matches DACVAEEncoder.forward (reference: codec.py:65-70): encoder output
     -> in_proj -> take the mean half of (mean, logvar).
     """
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
     z = encoder_apply(params["encoder"], pad_to_hop(wav, cfg.hop_length), cfg,
-                      compute_dtype)
+                      compute_dtype, use_fused)
     moments = C.conv1d(params["in_proj"], z, compute_dtype=compute_dtype)
     mean = moments[:, : cfg.codebook_dim]
     if cfg.mean != 0.0 or cfg.std != 1.0:
@@ -196,15 +211,18 @@ def encode(params, wav: jnp.ndarray, cfg: DACVAEConfig, compute_dtype=None):
     return mean
 
 
-def decode(params, encoded: jnp.ndarray, cfg: DACVAEConfig, compute_dtype=None):
+def decode(params, encoded: jnp.ndarray, cfg: DACVAEConfig, compute_dtype=None,
+           use_fused: Optional[bool] = None):
     """encoded: (B, codebook_dim, T) -> wav (B, 1, T*hop).
 
     Matches DACVAE.decode (reference: codec.py:86-89).
     """
+    if use_fused is None:
+        use_fused = jax.default_backend() == "tpu"
     if cfg.mean != 0.0 or cfg.std != 1.0:
         encoded = encoded * cfg.std + cfg.mean
     emb = C.conv1d(params["out_proj"], encoded, compute_dtype=compute_dtype)
-    return decoder_apply(params["decoder"], emb, cfg, compute_dtype)
+    return decoder_apply(params["decoder"], emb, cfg, compute_dtype, use_fused)
 
 
 # ---------------------------------------------------------------------------

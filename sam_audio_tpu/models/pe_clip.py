@@ -1,0 +1,206 @@
+"""Perception-Encoder CLIP image tower (PE-Core-L14-336) in JAX.
+
+The reference encodes masked video frames with PE-Core-L14-336's
+`encode_image`, producing L2-normalized 1024-d features, chunked at <=300
+frames per batch (reference: sam_audio/model/vision_encoder.py:40-113,
+config.py:69-83).
+
+Architecture: ViT-L/14 @336 — conv patch embed (14x14/14), CLS token +
+learned positional embeddings, 24 pre-LN transformer layers (width 1024,
+16 heads, GELU MLP x4), final LayerNorm, attentive-pool head projecting to
+the output dim, L2 normalization. The preprocessing transform (resize-336
+bicubic, /255, normalize(0.5, 0.5, 0.5)) runs on device via jax.image.
+
+All frames of a video batch flow through as one (N, tokens, width) stream —
+the MXU-friendly layout — with the <=`batch_size` chunking preserved for
+HBM safety on very long videos.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam_audio_tpu.config import PerceptionEncoderConfig
+from sam_audio_tpu.ops import nn as N
+from sam_audio_tpu.ops.attention import attend
+
+
+def _layer_init(key, width, heads, mlp_ratio, dtype=jnp.float32):
+    ks = jax.random.split(key, 6)
+    mlp = int(width * mlp_ratio)
+    return {
+        "ln1": N.layernorm_init(width, dtype),
+        "attn": {
+            "wq": N.linear_init(ks[0], width, width, bias=True, dtype=dtype),
+            "wk": N.linear_init(ks[1], width, width, bias=True, dtype=dtype),
+            "wv": N.linear_init(ks[2], width, width, bias=True, dtype=dtype),
+            "wo": N.linear_init(ks[3], width, width, bias=True, dtype=dtype),
+        },
+        "ln2": N.layernorm_init(width, dtype),
+        "mlp": {
+            "fc1": N.linear_init(ks[4], width, mlp, bias=True, dtype=dtype),
+            "fc2": N.linear_init(ks[5], mlp, width, bias=True, dtype=dtype),
+        },
+    }
+
+
+def pe_clip_init(key, cfg: PerceptionEncoderConfig, dtype=jnp.float32):
+    w = cfg.width
+    grid = cfg.image_size // cfg.patch_size
+    n_tokens = grid * grid + (1 if cfg.use_cls_token else 0)
+    ks = jax.random.split(key, 8)
+    layer_keys = jax.random.split(ks[0], cfg.vit_layers)
+    return {
+        "patch_embed": {
+            "weight": jax.random.normal(
+                ks[1], (w, 3, cfg.patch_size, cfg.patch_size), dtype
+            ) * 0.02,
+        },
+        "cls_token": jax.random.normal(ks[2], (w,), dtype) * 0.02,
+        "pos_embed": jax.random.normal(ks[3], (n_tokens, w), dtype) * 0.02,
+        "layers": jax.vmap(
+            lambda k: _layer_init(k, w, cfg.vit_heads, cfg.mlp_ratio, dtype)
+        )(layer_keys),
+        "ln_post": N.layernorm_init(w, dtype),
+        "attn_pool": {
+            "probe": jax.random.normal(ks[4], (1, w), dtype) * 0.02,
+            "wq": N.linear_init(ks[5], w, w, bias=True, dtype=dtype),
+            "wk": N.linear_init(ks[6], w, w, bias=True, dtype=dtype),
+            "wv": N.linear_init(ks[7], w, w, bias=True, dtype=dtype),
+            "wo": N.linear_init(jax.random.fold_in(key, 11), w, w, bias=True,
+                                dtype=dtype),
+            "ln": N.layernorm_init(w, dtype),
+        },
+        "proj": N.linear_init(jax.random.fold_in(key, 12), w, cfg.dim,
+                              bias=False, dtype=dtype),
+    }
+
+
+def preprocess_frames(frames: jnp.ndarray, cfg: PerceptionEncoderConfig):
+    """(N, C, H, W) uint8/float -> (N, C, S, S) normalized float32
+    (reference: vision_encoder.py:16-37, 92-113)."""
+    x = frames.astype(jnp.float32)
+    n, c, h, w = x.shape
+    s = cfg.image_size
+    if (h, w) != (s, s):
+        method = cfg.interpolation_mode.lower()
+        if method == "bicubic":
+            method = "cubic"
+        x = jax.image.resize(x, (n, c, s, s), method=method)
+    x = x / 255.0
+    return (x - 0.5) / 0.5
+
+
+def encode_images(params, x: jnp.ndarray, cfg: PerceptionEncoderConfig,
+                  compute_dtype=None, normalize=True) -> jnp.ndarray:
+    """x: preprocessed (N, 3, S, S) -> (N, dim), L2-normalized."""
+    n = x.shape[0]
+    w = cfg.width
+    heads = cfg.vit_heads
+    hd = w // heads
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    # patch embed: conv s=p == unfold + matmul
+    pe_w = params["patch_embed"]["weight"]
+    if compute_dtype is not None:
+        pe_w = pe_w.astype(compute_dtype)
+    h = jax.lax.conv_general_dilated(
+        x, pe_w, (cfg.patch_size, cfg.patch_size), "VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )  # (N, w, g, g)
+    h = h.reshape(n, w, -1).swapaxes(1, 2)  # (N, tokens, w)
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(params["cls_token"][None, None, :], (n, 1, w))
+        h = jnp.concatenate([cls.astype(h.dtype), h], axis=1)
+    h = h + params["pos_embed"][None].astype(h.dtype)
+
+    def body(carry, layer):
+        hc = carry
+        y = N.layernorm(layer["ln1"], hc)
+        q = N.linear(layer["attn"]["wq"], y, compute_dtype).reshape(n, -1, heads, hd)
+        k = N.linear(layer["attn"]["wk"], y, compute_dtype).reshape(n, -1, heads, hd)
+        v = N.linear(layer["attn"]["wv"], y, compute_dtype).reshape(n, -1, heads, hd)
+        o = attend(q, k, v).reshape(n, -1, w)
+        hc = hc + N.linear(layer["attn"]["wo"], o, compute_dtype)
+        y = N.layernorm(layer["ln2"], hc)
+        y = jax.nn.gelu(N.linear(layer["mlp"]["fc1"], y, compute_dtype),
+                        approximate=True)
+        return hc + N.linear(layer["mlp"]["fc2"], y, compute_dtype), None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    h = N.layernorm(params["ln_post"], h)
+
+    # attentive pooling: one probe query over all tokens
+    ap = params["attn_pool"]
+    probe = jnp.broadcast_to(ap["probe"][None], (n, 1, w)).astype(h.dtype)
+    q = N.linear(ap["wq"], probe, compute_dtype).reshape(n, 1, heads, hd)
+    k = N.linear(ap["wk"], h, compute_dtype).reshape(n, -1, heads, hd)
+    v = N.linear(ap["wv"], h, compute_dtype).reshape(n, -1, heads, hd)
+    pooled = attend(q, k, v).reshape(n, w)
+    pooled = N.linear(ap["wo"], pooled, compute_dtype)
+    pooled = N.layernorm(ap["ln"], pooled)
+    out = N.linear(params["proj"], pooled, compute_dtype).astype(jnp.float32)
+    if normalize:
+        out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True),
+                                1e-8)
+    return out
+
+
+class PerceptionEncoder:
+    """Wrapper mirroring the reference VisionEncoder behavior: per-video
+    chunked encoding + right-pad across the batch
+    (reference: vision_encoder.py:47-69)."""
+
+    def __init__(self, cfg: PerceptionEncoderConfig, params):
+        self.cfg = cfg
+        self.params = params
+        self._encode = jax.jit(
+            lambda p, x: encode_images(p, x, cfg, compute_dtype=jnp.bfloat16)
+        )
+
+    @classmethod
+    def init_random(cls, key, cfg: PerceptionEncoderConfig):
+        return cls(cfg, pe_clip_init(key, cfg))
+
+    def __call__(self, videos: Sequence[np.ndarray]) -> jnp.ndarray:
+        """videos: list of (N_i, C, H, W) arrays -> (B, N_max, dim)."""
+        feats: List[jnp.ndarray] = []
+        bs = self.cfg.batch_size
+        for video in videos:
+            v = jnp.asarray(np.asarray(video))
+            v = preprocess_frames(v, self.cfg)
+            if bs > 0 and v.shape[0] > bs:
+                chunks = [
+                    self._encode(self.params, v[i : i + bs])
+                    for i in range(0, v.shape[0], bs)
+                ]
+                feats.append(jnp.concatenate(chunks, axis=0))
+            else:
+                feats.append(self._encode(self.params, v))
+        n_max = max(f.shape[0] for f in feats)
+        out = jnp.stack([
+            jnp.pad(f, ((0, n_max - f.shape[0]), (0, 0))) for f in feats
+        ])
+        return out
+
+
+def encode_videos(model, masked_videos, t_frames: int):
+    """Hook used by SAMAudio._encode_videos: list of (N, C, H, W) ->
+    (B, vision_dim, T) aligned to latent frames."""
+    enc = getattr(model, "vision_encoder", None)
+    if enc is None:
+        enc = PerceptionEncoder.init_random(
+            jax.random.PRNGKey(0), model.cfg.vision_encoder
+        )
+        model.vision_encoder = enc
+    feats = enc(masked_videos)  # (B, N_max, dim)
+    b, n, d = feats.shape
+    if n != t_frames:
+        pad = max(0, t_frames - n)
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))[:, :t_frames]
+    return jnp.swapaxes(feats, 1, 2)  # (B, dim, T)

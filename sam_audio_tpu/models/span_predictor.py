@@ -1,0 +1,178 @@
+"""Span predictor: infers temporal anchors ("when does the described sound
+occur") from text + mixture latents.
+
+Capability parity with the reference's PEAudioFrame "pe-a-frame-large" hook
+(reference: sam_audio/model/model.py:96-102, 231-245): input is the text
+prompt plus the first 128 latent channels of the mixture; output is a list of
+(start_sec, end_sec) spans per item, which `separate(predict_spans=True)`
+converts to "+" anchors and re-runs `batch.process_anchors`.
+
+Architecture (TPU-native design, not a port of PE-AV): audio latents ->
+linear embed -> N pre-LN transformer layers with RoPE self-attention and
+cross-attention to T5 text features -> per-frame sigmoid head. Frame
+probabilities are decoded to spans on the host with hysteresis thresholding
+and a minimum-duration filter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam_audio_tpu.ops import nn as N
+from sam_audio_tpu.ops.attention import attend
+from sam_audio_tpu.ops.rope import apply_rope, precompute_rope
+
+
+@dataclass(frozen=True)
+class SpanPredictorConfig:
+    audio_dim: int = 128
+    text_dim: int = 768
+    hidden: int = 512
+    n_layers: int = 4
+    n_heads: int = 8
+    norm_eps: float = 1e-5
+    max_positions: int = 10000
+    threshold: float = 0.5
+    min_duration_s: float = 0.2
+    frame_rate: float = 25.0
+
+
+def _layer_init(key, cfg: SpanPredictorConfig, dtype=jnp.float32):
+    h = cfg.hidden
+    ks = jax.random.split(key, 9)
+    return {
+        "ln1": N.layernorm_init(h, dtype),
+        "self_attn": {
+            "wq": N.linear_init(ks[0], h, h, dtype=dtype),
+            "wk": N.linear_init(ks[1], h, h, dtype=dtype),
+            "wv": N.linear_init(ks[2], h, h, dtype=dtype),
+            "wo": N.linear_init(ks[3], h, h, dtype=dtype),
+        },
+        "ln_cross": N.layernorm_init(h, dtype),
+        "cross_attn": {
+            "wq": N.linear_init(ks[4], h, h, dtype=dtype),
+            "wk": N.linear_init(ks[5], h, h, dtype=dtype),
+            "wv": N.linear_init(ks[6], h, h, dtype=dtype),
+            "wo": N.linear_init(ks[7], h, h, dtype=dtype),
+        },
+        "ln2": N.layernorm_init(h, dtype),
+        "mlp": N.feedforward_init(ks[8], h, 4 * h, non_linearity="swiglu",
+                                  dtype=dtype),
+    }
+
+
+def span_predictor_init(key, cfg: SpanPredictorConfig, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    layer_keys = jax.random.split(ks[0], cfg.n_layers)
+    return {
+        "audio_embed": N.linear_init(ks[1], cfg.audio_dim, cfg.hidden,
+                                     dtype=dtype),
+        "text_embed": N.linear_init(ks[2], cfg.text_dim, cfg.hidden,
+                                    dtype=dtype),
+        "layers": jax.vmap(lambda k: _layer_init(k, cfg, dtype))(layer_keys),
+        "final_norm": N.layernorm_init(cfg.hidden, dtype),
+        "head": N.linear_init(ks[3], cfg.hidden, 1, dtype=dtype),
+    }
+
+
+def span_predictor_forward(params, cfg: SpanPredictorConfig,
+                           audio_features, audio_pad_mask,
+                           text_features, text_mask, compute_dtype=None):
+    """audio_features: (B, T, audio_dim); text_features: (B, L, text_dim).
+    Returns frame logits (B, T) fp32."""
+    b, t, _ = audio_features.shape
+    nh = cfg.n_heads
+    hd = cfg.hidden // nh
+    h = N.linear(params["audio_embed"], audio_features, compute_dtype)
+    y = N.linear(params["text_embed"], text_features, compute_dtype)
+    cos, sin = precompute_rope(hd, t, max(10000, 2 * cfg.max_positions))
+
+    def body(carry, layer):
+        hc = carry
+        x = N.layernorm(layer["ln1"], hc, cfg.norm_eps)
+        q = N.linear(layer["self_attn"]["wq"], x, compute_dtype).reshape(b, t, nh, hd)
+        k = N.linear(layer["self_attn"]["wk"], x, compute_dtype).reshape(b, t, nh, hd)
+        v = N.linear(layer["self_attn"]["wv"], x, compute_dtype).reshape(b, t, nh, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        o = attend(q, k, v, key_padding_mask=audio_pad_mask).reshape(b, t, -1)
+        hc = hc + N.linear(layer["self_attn"]["wo"], o, compute_dtype)
+
+        x = N.layernorm(layer["ln_cross"], hc, cfg.norm_eps)
+        q = N.linear(layer["cross_attn"]["wq"], x, compute_dtype).reshape(b, t, nh, hd)
+        k = N.linear(layer["cross_attn"]["wk"], y, compute_dtype).reshape(
+            b, y.shape[1], nh, hd)
+        v = N.linear(layer["cross_attn"]["wv"], y, compute_dtype).reshape(
+            b, y.shape[1], nh, hd)
+        o = attend(q, k, v, key_padding_mask=text_mask).reshape(b, t, -1)
+        hc = hc + N.linear(layer["cross_attn"]["wo"], o, compute_dtype)
+
+        x = N.layernorm(layer["ln2"], hc, cfg.norm_eps)
+        hc = hc + N.feedforward(layer["mlp"], x, "swiglu", compute_dtype)
+        return hc, None
+
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    h = N.layernorm(params["final_norm"], h, cfg.norm_eps)
+    return N.linear(params["head"], h, compute_dtype)[..., 0].astype(jnp.float32)
+
+
+def frames_to_spans(probs: np.ndarray, valid_mask: np.ndarray,
+                    threshold: float = 0.5, min_duration_s: float = 0.2,
+                    frame_rate: float = 25.0) -> List[List[Tuple[float, float]]]:
+    """Per-item run-length decoding of frame probabilities into (start, end)
+    second spans."""
+    out = []
+    min_frames = max(1, int(round(min_duration_s * frame_rate)))
+    for p, m in zip(probs, valid_mask):
+        active = (p > threshold) & m
+        spans = []
+        start = None
+        for i, a in enumerate(active.tolist() + [False]):
+            if a and start is None:
+                start = i
+            elif not a and start is not None:
+                if i - start >= min_frames:
+                    spans.append((start / frame_rate, i / frame_rate))
+                start = None
+        out.append(spans)
+    return out
+
+
+class SpanPredictor:
+    """Callable attached to SAMAudio.span_predictor: (model, batch, audios)
+    -> per-item span lists."""
+
+    def __init__(self, cfg: SpanPredictorConfig, params):
+        self.cfg = cfg
+        self.params = params
+
+    @classmethod
+    def init_random(cls, key, cfg: SpanPredictorConfig = SpanPredictorConfig()):
+        return cls(cfg, span_predictor_init(key, cfg))
+
+    def __call__(self, model, batch, audios) -> List[List[Tuple[float, float]]]:
+        from sam_audio_tpu.models import dacvae
+        from sam_audio_tpu.models.t5 import t5_encode
+
+        lat = dacvae.encode(model.params["audio_codec"], jnp.asarray(audios),
+                            model.cfg.audio_codec)
+        lat = jnp.swapaxes(lat, 1, 2)[..., : self.cfg.audio_dim]
+        text_ids, text_mask = model._tokenize(batch.descriptions)
+        text_features = t5_encode(model.params["text_encoder"], text_ids,
+                                  text_mask, model.cfg.text_encoder)
+        pad_mask = jnp.asarray(batch.audio_pad_mask)
+        logits = span_predictor_forward(
+            self.params, self.cfg, lat, pad_mask, text_features, text_mask
+        )
+        probs = np.asarray(jax.nn.sigmoid(logits))
+        fps = model.sample_rate / model.hop_length
+        return frames_to_spans(
+            probs, np.asarray(batch.audio_pad_mask),
+            threshold=self.cfg.threshold,
+            min_duration_s=self.cfg.min_duration_s, frame_rate=fps,
+        )

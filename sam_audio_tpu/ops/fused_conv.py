@@ -1,0 +1,142 @@
+"""Pallas fused kernels for the DAC-VAE conv stacks.
+
+The codec decoder dominates separation latency after the DiT: its residual
+units (snake -> dilated k7 conv -> snake -> k1 conv -> add) run at 48 kHz
+sample rate with narrow channels (96-768), where unfused XLA ops are HBM
+bandwidth-bound (each op re-reads/writes ~1.5 GB activations per stage at
+k=8). This kernel computes an ENTIRE residual unit per tile in VMEM: the
+activation tile is read from HBM once and written once — a ~5x traffic
+reduction — with the convolution expressed as 7 shifted (C_out, C_in) @
+(C_in, T_tile) MXU matmuls accumulated in fp32.
+
+Layout: (B, C, T) with T on lanes (always 128-aligned tiles) and C on
+sublanes. Dilated halos are handled by pre-padding T and streaming
+overlapping tiles via manual async DMA (BlockSpecs can't express overlap).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
+                     out_ref, x_vmem, sem, *, dilation: int, block_t: int,
+                     kernel_size: int):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    pad = (kernel_size - 1) * dilation // 2
+
+    cp = pltpu.make_async_copy(
+        x_hbm.at[b, :, pl.ds(i * block_t, block_t + 2 * pad)],
+        x_vmem,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    xf = x_vmem[...].astype(jnp.float32)
+    a1 = a1_ref[...].astype(jnp.float32)  # (C, 1)
+    h = xf + (1.0 / (a1 + 1e-9)) * jnp.square(jnp.sin(a1 * xf))
+    h = h.astype(w7_ref.dtype)
+
+    acc = jnp.zeros((out_ref.shape[1], block_t), jnp.float32)
+    for j in range(kernel_size):
+        acc += jax.lax.dot(
+            w7_ref[:, :, j], h[:, j * dilation : j * dilation + block_t],
+            preferred_element_type=jnp.float32,
+        )
+    acc += b7_ref[...].astype(jnp.float32)  # (C, 1) broadcast
+
+    a2 = a2_ref[...].astype(jnp.float32)
+    h2 = acc + (1.0 / (a2 + 1e-9)) * jnp.square(jnp.sin(a2 * acc))
+
+    out = jax.lax.dot(
+        w1_ref[...], h2.astype(w1_ref.dtype), preferred_element_type=jnp.float32
+    )
+    out += b1_ref[...].astype(jnp.float32)
+    out += xf[:, pad : pad + block_t]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("dilation", "block_t", "interpret"))
+def _fused_res_unit_padded(x, w7, b7, w1, b1, alpha1, alpha2, *, dilation: int,
+                           block_t: int, interpret: bool):
+    """x: (B, C, T) with T % block_t == 0. Returns (B, C, T)."""
+    b, c, t = x.shape
+    k = w7.shape[-1]
+    pad = (k - 1) * dilation // 2
+    x_padded = jnp.pad(x, [(0, 0), (0, 0), (pad, pad)])
+
+    kernel = functools.partial(_res_unit_kernel, dilation=dilation,
+                               block_t=block_t, kernel_size=k)
+    grid = (b, t // block_t)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec((c, c, k), lambda b_, i: (0, 0, 0)),
+            pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
+            pl.BlockSpec((c, c), lambda b_, i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
+            pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, block_t), lambda b_, i: (b_, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, block_t + 2 * pad), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_padded, w7, b7, w1, b1, alpha1, alpha2)
+
+
+def _pick_block_t(c: int, t: int) -> int:
+    """Largest lane-aligned tile that keeps VMEM under ~12 MB."""
+    for bt in (2048, 1024, 512, 256, 128):
+        if t % bt != 0:
+            continue
+        # x tile (bf16) + fp32 acc + weights (bf16)
+        vmem = c * (bt + 64) * 2 + c * bt * 4 * 2 + c * c * 8 * 2
+        if vmem < 12 * 1024 * 1024:
+            return bt
+    return 0
+
+
+def fused_residual_unit(params, x, dilation: int, compute_dtype=jnp.bfloat16,
+                        interpret=None):
+    """Drop-in replacement for models.dacvae._residual_unit_apply.
+
+    params: {snake1.alpha, conv1.{weight,bias}, snake2.alpha, conv2.{weight,bias}}
+    x: (B, C, T). Falls back to None (caller uses the XLA path) when the
+    shape doesn't tile; returns the output array otherwise.
+    """
+    b, c, t = x.shape
+    k = params["conv1"]["weight"].shape[-1]
+    block_t = _pick_block_t(c, t)
+    if block_t == 0 or c % 8 != 0:
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    w7 = params["conv1"]["weight"].astype(compute_dtype)  # (C, C, K)
+    b7 = params["conv1"].get("bias",
+                             jnp.zeros((c,), jnp.float32)).reshape(c, 1)
+    w1 = params["conv2"]["weight"][:, :, 0].astype(compute_dtype)  # (C, C)
+    b1 = params["conv2"].get("bias",
+                             jnp.zeros((c,), jnp.float32)).reshape(c, 1)
+    a1 = params["snake1"]["alpha"].reshape(c, 1)
+    a2 = params["snake2"]["alpha"].reshape(c, 1)
+    return _fused_res_unit_padded(
+        x.astype(compute_dtype), w7, b7, w1, b1, a1, a2,
+        dilation=dilation, block_t=block_t, interpret=interpret,
+    )

@@ -1,0 +1,95 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam_audio_tpu.config import (
+    DACVAEConfig,
+    JudgeRankerConfig,
+    ModernBertTextConfig,
+    PEAVTransformerConfig,
+    SAMAudioJudgeConfig,
+)
+from sam_audio_tpu.models.judge import SAMAudioJudgeModel, judge_forward, judge_init
+from sam_audio_tpu.processor import SAMAudioJudgeProcessor
+from sam_audio_tpu.ranking.judge import JudgeRanker
+from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+CFG = SAMAudioJudgeConfig(
+    audio_codec=DACVAEConfig(
+        encoder_dim=4, encoder_rates=(2, 4), latent_dim=16, decoder_dim=16,
+        decoder_rates=(4, 2), codebook_dim=4, sample_rate=8000,
+    ),
+    transformer=PEAVTransformerConfig(hidden_size=16, num_layers=2, num_heads=2),
+    finetune_transformer=PEAVTransformerConfig(hidden_size=12, num_layers=1,
+                                               num_heads=2),
+    text_model=ModernBertTextConfig(
+        vocab_size=300, hidden_size=16, num_hidden_layers=3,
+        num_attention_heads=2, intermediate_size=24,
+        global_attn_every_n_layers=3, local_attention=8,
+    ),
+    nth_text_layer=2,
+    bottleneck_dim=8,
+    compute_dtype="float32",
+)
+
+
+def test_judge_forward_shapes():
+    params = judge_init(jax.random.PRNGKey(0), CFG)
+    b, tw, l = 2, 64, 6
+    rng = np.random.RandomState(0)
+    out = judge_forward(
+        params, CFG,
+        input_ids=jnp.asarray(rng.randint(3, 300, (b, l)).astype(np.int32)),
+        input_values=jnp.asarray(rng.randn(b, 1, tw).astype(np.float32)),
+        separated_values=jnp.asarray(rng.randn(b, 1, tw).astype(np.float32)),
+        padding_mask=jnp.ones((b, tw), bool),
+    )
+    for field in (out.overall, out.recall, out.precision, out.faithfulness):
+        assert field.shape == (b, 1)
+        assert np.isfinite(np.asarray(field)).all()
+
+
+def test_judge_denormalization():
+    params = judge_init(jax.random.PRNGKey(0), CFG)
+    params["mean"] = jnp.asarray([10.0, 20.0, 30.0, 40.0])
+    params["std"] = jnp.asarray([0.0, 0.0, 0.0, 0.0])  # zero std -> constant
+    rng = np.random.RandomState(1)
+    out = judge_forward(
+        params, CFG,
+        input_ids=jnp.asarray(rng.randint(3, 300, (1, 4)).astype(np.int32)),
+        input_values=jnp.asarray(rng.randn(1, 1, 32).astype(np.float32)),
+        separated_values=jnp.asarray(rng.randn(1, 1, 32).astype(np.float32)),
+    )
+    np.testing.assert_allclose(np.asarray(out.overall), [[10.0]], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.faithfulness), [[40.0]], atol=1e-5)
+
+
+def test_judge_ranker_scores_shape():
+    model = SAMAudioJudgeModel.init_random(jax.random.PRNGKey(0), CFG)
+    processor = SAMAudioJudgeProcessor(
+        audio_hop_length=CFG.audio_codec.hop_length,
+        audio_sampling_rate=CFG.audio_codec.sample_rate,
+        tokenizer=ByteFallbackTokenizer(300),
+    )
+    ranker = JudgeRanker(JudgeRankerConfig(), model=model, processor=processor)
+    rng = np.random.RandomState(0)
+    b, k, t = 2, 3, 48
+    extracted = [rng.randn(k, t).astype(np.float32) for _ in range(b)]
+    mixtures = [rng.randn(k, t).astype(np.float32) for _ in range(b)]
+    scores = ranker(
+        extracted_audio=extracted, input_audio=mixtures,
+        descriptions=["dog", "cat"], sample_rate=8000,
+    )
+    assert scores.shape == (b, k)
+    assert np.isfinite(scores).all()
+
+
+def test_judge_processor_reflect_pad():
+    processor = SAMAudioJudgeProcessor(
+        audio_hop_length=8, audio_sampling_rate=8000,
+        tokenizer=ByteFallbackTokenizer(300),
+    )
+    out = processor._process_audio([np.ones((1, 13), np.float32)])
+    # padded to next hop multiple (16)
+    assert out["input_values"].shape == (1, 1, 16)
+    assert out["padding_mask"].shape == (1, 16)
