@@ -1,0 +1,167 @@
+"""Distributed eval CLI (reference: eval/main.py:45-162).
+
+  python -m sam_audio_tpu.eval.main -s <setting> -p <ckpt> -c 8
+
+Data parallelism is per-process dataset sharding (jax.process_index /
+process_count replace the reference's RANK/WORLD_SIZE + DistributedSampler);
+per-rank metric sums are combined with multihost allgather over DCN (the
+reference's all_gather_object, eval/main.py:19-42). Results land in
+results/<setting>.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from sam_audio_tpu.eval.settings import SETTINGS, make_dataset
+
+
+def gather_and_average_results(rows: List[Dict[str, float]],
+                               multihost: bool = False) -> Dict[str, float]:
+    """rows: list of per-item metric dicts."""
+    summed: Dict[str, float] = {}
+    count = 0
+    for row in rows:
+        for k, v in row.items():
+            summed[k] = summed.get(k, 0.0) + float(v)
+        count += 1
+    if multihost:
+        import jax
+        from jax.experimental import multihost_utils
+
+        keys = sorted(summed)
+        local = np.asarray([summed[k] for k in keys] + [count], np.float64)
+        gathered = np.asarray(multihost_utils.process_allgather(local))
+        total = gathered.sum(axis=0)
+        summed = dict(zip(keys, total[:-1]))
+        count = int(total[-1])
+    return {k: v / max(count, 1) for k, v in summed.items()}
+
+
+def _shard_indices(n: int, rank: int, world: int) -> List[int]:
+    return list(range(rank, n, world))
+
+
+def iter_batches(dset, batch_size: int, rank: int, world: int):
+    idxs = _shard_indices(len(dset), rank, world)
+    for i in range(0, len(idxs), batch_size):
+        items = [dset[j] for j in idxs[i : i + batch_size]]
+        yield dset.collate(items)
+
+
+def run_eval(
+    settings: List[str],
+    cache_path: str,
+    batch_size: int,
+    checkpoint_path: str,
+    reranking_candidates: int = 8,
+    model=None,
+    processor=None,
+    metrics: Optional[List] = None,
+    imagebind_metric=None,
+    predict_spans: bool = False,
+    output_dir: str = "results",
+    max_items: Optional[int] = None,
+) -> Dict[str, Dict[str, float]]:
+    import jax
+
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    rank = jax.process_index()
+    world = jax.process_count()
+
+    if model is None:
+        model = SAMAudio.from_pretrained(checkpoint_path)
+    if processor is None:
+        processor = SAMAudioProcessor.from_pretrained(checkpoint_path)
+    if metrics is None:
+        from sam_audio_tpu.eval.metrics import CLAP, Aesthetic, Judge
+
+        metrics = [Judge(), Aesthetic(), CLAP()]
+    if imagebind_metric is None and any(
+        SETTINGS[s][1].get("visual") for s in settings if s in SETTINGS
+    ):
+        from sam_audio_tpu.eval.metrics import ImageBind
+
+        imagebind_metric = ImageBind()
+
+    all_results = {}
+    for setting in settings:
+        if rank == 0:
+            print(f"Evaluating: {setting}")
+        dset = make_dataset(setting, cache_path=cache_path,
+                            collate_fn=processor)
+        active_metrics = list(metrics)
+        if dset.visual and imagebind_metric is not None:
+            active_metrics.append(imagebind_metric)
+
+        rows: List[Dict[str, float]] = []
+        seen = 0
+        for batch in iter_batches(dset, batch_size, rank, world):
+            result = model.separate(
+                batch, reranking_candidates=reranking_candidates,
+                predict_spans=predict_spans,
+            )
+            input_wavs = [
+                np.asarray(batch.audios)[i, 0, : int(batch.wav_sizes[i])]
+                for i in range(batch.audios.shape[0])
+            ]
+            mets: Dict[str, List[float]] = {}
+            for metric in active_metrics:
+                mets.update(metric(
+                    target_wavs=result.target,
+                    target_wavs_sample_rate=model.sample_rate,
+                    descriptions=batch.descriptions,
+                    input_wavs=input_wavs,
+                    videos=batch.masked_video,
+                ))
+            n_items = len(result.target)
+            for i in range(n_items):
+                rows.append({k: v[i] for k, v in mets.items()})
+            seen += n_items
+            if max_items is not None and seen >= max_items:
+                break
+
+        averaged = gather_and_average_results(rows, multihost=world > 1)
+        all_results[setting] = averaged
+        if rank == 0:
+            printable = {k: f"{v:.3f}" for k, v in averaged.items()}
+            print(json.dumps(printable, indent=4))
+            os.makedirs(output_dir, exist_ok=True)
+            with open(os.path.join(output_dir, f"{setting}.json"), "w") as fout:
+                print(json.dumps(printable), file=fout)
+    return all_results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--setting", "-s", choices=SETTINGS.keys(),
+                        default=["instr-pro"], nargs="+")
+    parser.add_argument("--cache-path", type=str,
+                        default=os.path.expanduser("~/.cache/sam_audio"))
+    parser.add_argument("--checkpoint-path", "-p", type=str,
+                        default="facebook/sam-audio-large")
+    parser.add_argument("--batch-size", "-b", type=int, default=1)
+    parser.add_argument("--candidates", "-c", type=int, default=8)
+    parser.add_argument("--predict-spans", action="store_true")
+    parser.add_argument("--max-items", type=int, default=None)
+    opt = parser.parse_args()
+    run_eval(
+        settings=opt.setting,
+        cache_path=opt.cache_path,
+        batch_size=opt.batch_size,
+        checkpoint_path=opt.checkpoint_path,
+        reranking_candidates=opt.candidates,
+        predict_spans=opt.predict_spans,
+        max_items=opt.max_items,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""ImageBind audio<->video ranker (reference: sam_audio/ranking/imagebind.py:
+152-197): cosine between each candidate's audio embedding and its prompt
+video's embedding."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from sam_audio_tpu.config import ImageBindRankerConfig
+from sam_audio_tpu.ranking.ranker import Ranker
+
+
+class ImageBindRanker(Ranker):
+    def __init__(self, config: ImageBindRankerConfig, model=None):
+        self.config = config
+        self._model = model
+
+    @property
+    def model(self):
+        if self._model is None:
+            import jax
+
+            from sam_audio_tpu.models.imagebind import ImageBindModel
+
+            if self.config.checkpoint:
+                from sam_audio_tpu.checkpoint import load_params
+                from sam_audio_tpu.models.imagebind import ImageBindConfig
+
+                self._model = ImageBindModel(ImageBindConfig(),
+                                             load_params(self.config.checkpoint))
+            else:
+                self._model = ImageBindModel.init_random(jax.random.PRNGKey(0))
+        return self._model
+
+    def __call__(
+        self,
+        extracted_audio: Sequence[np.ndarray],  # per item (k, T)
+        videos: Sequence[np.ndarray],           # per item (N, C, H, W)
+        sample_rate: int = 48_000,
+        **kwargs,
+    ) -> np.ndarray:
+        bsz = len(extracted_audio)
+        k = int(np.asarray(extracted_audio[0]).shape[0])
+        flat_wavs = [np.asarray(extracted_audio[i][j], np.float32)
+                     for i in range(bsz) for j in range(k)]
+        audio_emb = np.asarray(self.model.embed_audio(flat_wavs, sample_rate))
+        video_emb = np.asarray(self.model.embed_videos(videos))
+        scores = np.einsum("bkd,bd->bk", audio_emb.reshape(bsz, k, -1),
+                           video_emb)
+        return scores.astype(np.float32)

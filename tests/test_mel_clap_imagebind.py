@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam_audio_tpu.config import ClapRankerConfig, ImageBindRankerConfig
+from sam_audio_tpu.models.clap import (
+    ClapConfig,
+    ClapModel,
+    fit_duration,
+    quantize_roundtrip,
+)
+from sam_audio_tpu.models.imagebind import (
+    ImageBindConfig,
+    ImageBindModel,
+    audio_to_melclips,
+    video_to_clips,
+)
+from sam_audio_tpu.ops.mel import mel_filterbank, mel_spectrogram, stft_power
+from sam_audio_tpu.ranking.clap import ClapRanker
+from sam_audio_tpu.ranking.imagebind import ImageBindRanker
+
+TINY_CLAP = ClapConfig(
+    sample_rate=8000, duration_s=0.5, n_fft=256, hop_length=128, n_mels=16,
+    fmin=10.0, fmax=4000.0, audio_hidden=16, audio_layers=1, audio_heads=2,
+    text_vocab=300, text_hidden=16, text_layers=1, text_heads=2, embed_dim=8,
+)
+TINY_IB = ImageBindConfig(
+    sample_rate=8000, clip_duration_s=0.25, num_audio_clips=2, n_mels=32,
+    target_frames=16, n_fft=128, hop_length=64, audio_patch=8,
+    audio_hidden=16, audio_layers=1, audio_heads=2, image_size=32,
+    image_patch=16, num_video_clips=2, vision_hidden=16, vision_layers=1,
+    vision_heads=2, embed_dim=8,
+)
+
+
+def test_stft_matches_numpy():
+    x = np.random.RandomState(0).randn(1, 512).astype(np.float32)
+    n_fft, hop = 128, 64
+    ours = np.asarray(stft_power(jnp.asarray(x), n_fft, hop, center=False))
+    window = np.hanning(n_fft + 1)[:-1]
+    frames = np.stack([x[0, i * hop : i * hop + n_fft] * window
+                       for i in range(1 + (512 - n_fft) // hop)])
+    ref = np.abs(np.fft.rfft(frames, axis=-1)) ** 2
+    np.testing.assert_allclose(ours[0], ref, rtol=1e-3, atol=1e-4)
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(8000, 256, 16, 10.0, 4000.0)
+    assert fb.shape == (129, 16)
+    assert (fb >= 0).all()
+    # every mel band has some support
+    assert (fb.sum(0) > 0).all()
+
+
+def test_mel_spectrogram_tone_peak():
+    sr, n_fft, hop = 8000, 256, 128
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 1000 * t).astype(np.float32)
+    mel = np.asarray(mel_spectrogram(jnp.asarray(tone[None]), sample_rate=sr,
+                                     n_fft=n_fft, hop_length=hop, n_mels=16,
+                                     fmin=10.0, fmax=4000.0))
+    fb = mel_filterbank(8000, 256, 16, 10.0, 4000.0)
+    freqs = np.linspace(0, 4000, 129)
+    band_center = (fb * freqs[:, None]).sum(0) / np.maximum(fb.sum(0), 1e-9)
+    peak_band = mel.mean(axis=(0, 1)).argmax()
+    assert abs(band_center[peak_band] - 1000) < 400
+
+
+def test_quantize_roundtrip_and_fit_duration():
+    wav = jnp.asarray(np.linspace(-1.2, 1.2, 100, dtype=np.float32)[None])
+    q = np.asarray(quantize_roundtrip(wav))
+    assert q.max() <= 1.0 and q.min() >= -1.0
+    short = fit_duration(jnp.ones((1, 30)), 100)
+    assert short.shape == (1, 100)
+    np.testing.assert_allclose(np.asarray(short), 1.0)  # repeat-pad
+    long = fit_duration(jnp.asarray(np.arange(200, dtype=np.float32)[None]), 100)
+    assert long.shape == (1, 100)
+    assert long[0, 0] == 50  # center truncation
+
+
+def test_clap_ranker_shapes_and_self_consistency():
+    model = ClapModel.init_random(jax.random.PRNGKey(0), TINY_CLAP)
+    ranker = ClapRanker(ClapRankerConfig(), model=model)
+    rng = np.random.RandomState(0)
+    b, k, t = 2, 3, 4000
+    extracted = [rng.randn(k, t).astype(np.float32) * 0.1 for _ in range(b)]
+    scores = ranker(extracted_audio=extracted, descriptions=["dog", "cat"],
+                    sample_rate=8000)
+    assert scores.shape == (b, k)
+    assert np.isfinite(scores).all()
+    assert (np.abs(scores) <= 1.0 + 1e-5).all()  # cosine of unit vectors
+
+
+def test_imagebind_ranker_shapes():
+    model = ImageBindModel.init_random(jax.random.PRNGKey(0), TINY_IB)
+    ranker = ImageBindRanker(ImageBindRankerConfig(), model=model)
+    rng = np.random.RandomState(0)
+    b, k, t = 2, 2, 4000
+    extracted = [rng.randn(k, t).astype(np.float32) * 0.1 for _ in range(b)]
+    videos = [rng.randint(0, 255, (6, 3, 48, 64), np.uint8) for _ in range(b)]
+    scores = ranker(extracted_audio=extracted, videos=videos, sample_rate=8000)
+    assert scores.shape == (b, k)
+    assert np.isfinite(scores).all()
+
+
+def test_audio_to_melclips_shape():
+    wav = np.random.RandomState(0).randn(6000).astype(np.float32)
+    clips = audio_to_melclips(wav, TINY_IB)
+    assert clips.shape == (2, 16, 32)
+
+
+def test_video_to_clips_shape():
+    frames = np.random.RandomState(0).randint(0, 255, (10, 3, 40, 60), np.uint8)
+    clips = video_to_clips(frames, TINY_IB)
+    assert clips.shape == (2, 3, 32, 32)
+    assert clips.max() <= 1.0
