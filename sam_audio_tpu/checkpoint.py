@@ -83,6 +83,25 @@ def load_params(path: str):
         return unflatten_pytree({k: data[k] for k in data.files})
 
 
+def save_params_orbax(path: str, params):
+    """Sharded/async checkpointing via orbax (multi-host safe)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params)
+
+
+def load_params_orbax(path: str, template=None):
+    """template: optional pytree of jax.ShapeDtypeStruct/arrays with target
+    shardings; None restores with saved metadata."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(os.path.abspath(path), template)
+        return ckptr.restore(os.path.abspath(path))
+
+
 # ---------------------------------------------------------------------------
 # Conversion helpers
 # ---------------------------------------------------------------------------

@@ -24,15 +24,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _round_up128(x: int) -> int:
+    return (x + 127) // 128 * 128
+
+
 def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
                      out_ref, x_vmem, sem, *, dilation: int, block_t: int,
                      kernel_size: int):
     b = pl.program_id(0)
     i = pl.program_id(1)
     pad = (kernel_size - 1) * dilation // 2
+    # DMA slices must be 128-aligned on the minor dim; the input is pre-padded
+    # so every load window [i*block_t, i*block_t + load_t) is in bounds.
+    load_t = _round_up128(block_t + 2 * pad)
 
     cp = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(i * block_t, block_t + 2 * pad)],
+        x_hbm.at[b, :, pl.ds(i * block_t, load_t)],
         x_vmem,
         sem,
     )
@@ -71,7 +78,10 @@ def _fused_res_unit_padded(x, w7, b7, w1, b1, alpha1, alpha2, *, dilation: int,
     b, c, t = x.shape
     k = w7.shape[-1]
     pad = (k - 1) * dilation // 2
-    x_padded = jnp.pad(x, [(0, 0), (0, 0), (pad, pad)])
+    load_t = _round_up128(block_t + 2 * pad)
+    # left pad: halo; right pad: halo + alignment slack for the last tile
+    right = (load_t - block_t) - pad
+    x_padded = jnp.pad(x, [(0, 0), (0, 0), (pad, right)])
 
     kernel = functools.partial(_res_unit_kernel, dilation=dilation,
                                block_t=block_t, kernel_size=k)
@@ -91,7 +101,7 @@ def _fused_res_unit_padded(x, w7, b7, w1, b1, alpha1, alpha2, *, dilation: int,
         out_specs=pl.BlockSpec((1, c, block_t), lambda b_, i: (b_, 0, i)),
         out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, block_t + 2 * pad), x.dtype),
+            pltpu.VMEM((c, load_t), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

@@ -228,15 +228,24 @@ class SAMAudioProcessor(Processor):
         audios: Sequence[Union[str, np.ndarray]],
         anchors: Optional[List[List[Anchor]]] = None,
         masked_videos: Optional[Sequence[Union[str, np.ndarray]]] = None,
+        pad_to_samples: Optional[int] = None,
     ) -> Batch:
-        """reference: sam_audio/processor.py:211-260."""
+        """reference: sam_audio/processor.py:211-260. `pad_to_samples` forces
+        the padded waveform length (serving pipeline bucket)."""
         assert len(descriptions) == len(audios)
         assert anchors is None or len(descriptions) == len(anchors)
         assert masked_videos is None or len(descriptions) == len(masked_videos)
 
         audio_arr, wav_sizes = batch_audio(audios, self.audio_sampling_rate)
 
-        if self.bucket_seconds > 0:
+        if pad_to_samples is not None:
+            tmax = audio_arr.shape[-1]
+            assert pad_to_samples >= tmax, (pad_to_samples, tmax)
+            if pad_to_samples != tmax:
+                audio_arr = np.pad(
+                    audio_arr, [(0, 0), (0, 0), (0, pad_to_samples - tmax)]
+                )
+        elif self.bucket_seconds > 0:
             # Round padded length up to a bucket boundary (a hop multiple) so
             # jit sees few distinct shapes.
             bucket = int(self.bucket_seconds * self.audio_sampling_rate)

@@ -1,0 +1,116 @@
+"""Batched serving pipeline: bucketed batching + async host prefetch.
+
+The reference processes one user batch at a time (model.separate). Production
+TPU serving needs stable compiled shapes and full batches; this pipeline:
+
+  1. decodes/resamples requests' audio on a host thread pool (overlapping the
+     chip's compute, SURVEY.md section 5 'host/device pipeline'),
+  2. groups requests into (bucket_length, batch) groups via the native C++
+     scheduler (runtime/scheduler.cc) so XLA sees few distinct shapes,
+  3. runs `separate` per group and returns results in request order.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Union
+
+import numpy as np
+
+from sam_audio_tpu.processor import Anchor, SAMAudioProcessor
+from sam_audio_tpu.runtime.native import plan_batches
+from sam_audio_tpu.utils.profiling import StageTimer
+
+
+@dataclass
+class SeparationRequest:
+    description: str
+    audio: Union[str, np.ndarray]
+    anchors: Optional[List[Anchor]] = None
+    masked_video: Optional[Any] = None
+
+
+@dataclass
+class SeparationResponse:
+    target: np.ndarray
+    residual: np.ndarray
+    metadata: dict = field(default_factory=dict)
+
+
+class SeparationPipeline:
+    def __init__(self, model, processor: Optional[SAMAudioProcessor] = None,
+                 max_batch: int = 4, bucket_seconds: float = 2.0,
+                 reranking_candidates: int = 1, predict_spans: bool = False,
+                 num_io_threads: int = 4):
+        self.model = model
+        self.processor = processor or SAMAudioProcessor(
+            audio_hop_length=model.hop_length,
+            audio_sampling_rate=model.sample_rate,
+        )
+        self.max_batch = max_batch
+        self.bucket_steps = max(
+            1, int(bucket_seconds * model.sample_rate / model.hop_length)
+        )
+        self.reranking_candidates = reranking_candidates
+        self.predict_spans = predict_spans
+        self.num_io_threads = num_io_threads
+        self.timer = StageTimer()
+
+    def _load_one(self, req: SeparationRequest) -> np.ndarray:
+        from sam_audio_tpu.audio_io import load_audio
+        from sam_audio_tpu.ops.resample import resample_np
+
+        if isinstance(req.audio, str):
+            wav, sr = load_audio(req.audio)
+            if sr != self.model.sample_rate:
+                wav = resample_np(wav, sr, self.model.sample_rate)
+            return wav.astype(np.float32)
+        wav = np.asarray(req.audio, np.float32)
+        return wav if wav.ndim == 2 else wav[None]
+
+    def run(self, requests: Sequence[SeparationRequest]
+            ) -> List[SeparationResponse]:
+        if not requests:
+            return []
+        # 1. async host decode
+        with self.timer.stage("host_decode"):
+            with ThreadPoolExecutor(self.num_io_threads) as pool:
+                wavs = list(pool.map(self._load_one, requests))
+
+        # 2. bucketed batch plan (native scheduler)
+        lengths = [w.shape[-1] for w in wavs]
+        batches, buckets = plan_batches(
+            lengths, hop=self.model.hop_length,
+            bucket_steps=self.bucket_steps, max_batch=self.max_batch,
+        )
+
+        # 3. run groups
+        responses: List[Optional[SeparationResponse]] = [None] * len(requests)
+        for group, bucket in zip(batches, buckets):
+            group_reqs = [requests[i] for i in group]
+            with self.timer.stage("preprocess"):
+                batch = self.processor(
+                    descriptions=[r.description for r in group_reqs],
+                    audios=[wavs[i] for i in group],
+                    anchors=[r.anchors for r in group_reqs]
+                    if any(r.anchors for r in group_reqs) else None,
+                    masked_videos=[r.masked_video for r in group_reqs]
+                    if any(r.masked_video is not None for r in group_reqs)
+                    else None,
+                    pad_to_samples=bucket,
+                )
+            with self.timer.stage("separate"):
+                result = self.model.separate(
+                    batch,
+                    reranking_candidates=self.reranking_candidates,
+                    predict_spans=self.predict_spans,
+                )
+            for j, idx in enumerate(group):
+                responses[idx] = SeparationResponse(
+                    target=np.asarray(result.target[j]),
+                    residual=np.asarray(result.residual[j]),
+                    metadata={"bucket": bucket,
+                              "batch_size": len(group)},
+                )
+        return responses  # type: ignore[return-value]

@@ -1,0 +1,62 @@
+import jax
+import numpy as np
+
+from sam_audio_tpu.config import tiny_test_config
+from sam_audio_tpu.models.sam_audio import SAMAudio
+from sam_audio_tpu.serving import SeparationPipeline, SeparationRequest
+from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+
+def make_pipeline(**kw):
+    cfg = tiny_test_config()
+    model = SAMAudio.init_random(
+        jax.random.PRNGKey(0), cfg,
+        tokenizer=ByteFallbackTokenizer(cfg.text_encoder.vocab_size),
+    )
+    return SeparationPipeline(model, bucket_seconds=0.01, **kw)
+
+
+def test_pipeline_orders_and_buckets():
+    pipe = make_pipeline(max_batch=2)
+    rng = np.random.RandomState(0)
+    lengths = [64, 200, 60, 210]
+    reqs = [
+        SeparationRequest(description=f"req{i}",
+                          audio=rng.randn(1, n).astype(np.float32) * 0.1)
+        for i, n in enumerate(lengths)
+    ]
+    out = pipe.run(reqs)
+    assert len(out) == 4
+    for resp, n in zip(out, lengths):
+        # unpadded length = ceil(n/hop)*hop (hop=8 in tiny config)
+        expected = -(-n // 8) * 8
+        assert resp.target.shape == (expected,)
+        assert np.isfinite(resp.target).all()
+    # items 0 and 2 (similar lengths) shared a bucket
+    assert out[0].metadata["bucket"] == out[2].metadata["bucket"]
+    assert out[0].metadata["batch_size"] == 2
+
+
+def test_pipeline_file_input(tmp_path):
+    from sam_audio_tpu.audio_io import write_wav
+
+    pipe = make_pipeline()
+    wav = (0.3 * np.sin(np.linspace(0, 60, 400))).astype(np.float32)
+    path = str(tmp_path / "in.wav")
+    write_wav(path, wav, 8000)
+    out = pipe.run([SeparationRequest(description="tone", audio=path)])
+    assert out[0].target.shape == (400,)
+
+
+def test_pipeline_empty():
+    pipe = make_pipeline()
+    assert pipe.run([]) == []
+
+
+def test_pipeline_stage_timers_populated():
+    pipe = make_pipeline()
+    reqs = [SeparationRequest(description="x",
+                              audio=np.zeros((1, 64), np.float32))]
+    pipe.run(reqs)
+    summary = pipe.timer.summary()
+    assert {"host_decode", "preprocess", "separate"} <= set(summary)
