@@ -15,6 +15,7 @@ no throughput numbers, BASELINE.md.)
 from __future__ import annotations
 
 import json
+from functools import partial
 import sys
 import time
 
@@ -26,7 +27,13 @@ import numpy as np
 def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
          iters: int = 3):
     from sam_audio_tpu.config import SAMAudioConfig
-    from sam_audio_tpu.models.sam_audio import num_params, sam_audio_init, separate_core
+    from sam_audio_tpu.models.sam_audio import (
+        decode_channel,
+        gather_candidates,
+        num_params,
+        sam_audio_init,
+        separate_latents,
+    )
     from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
 
     cfg = SAMAudioConfig(span_predictor=None, compute_dtype="bfloat16",
@@ -61,22 +68,35 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
 
     # On relay-attached TPU backends block_until_ready may not block; force a
     # device->host scalar fetch to synchronize timing.
-    checksum = jax.jit(lambda w: jnp.sum(w[:, :, ::7919].astype(jnp.float32)))
+    checksum = jax.jit(lambda w: jnp.sum(w[:, ::7919].astype(jnp.float32)))
+
+    @partial(jax.jit, static_argnames=())
+    def rank_and_finish(latents, targets):
+        # on-device candidate selection stand-in (energy argmax) + lazy
+        # residual decode of the winners only
+        energy = jnp.sum(jnp.square(targets), axis=-1).reshape(batch, candidates)
+        idxs = jnp.argmax(energy, axis=-1).astype(jnp.int32)
+        chosen = gather_candidates(latents, idxs, cfg=cfg,
+                                   candidates=candidates)
+        residual = decode_channel(params, chosen, cfg=cfg, channel=1)
+        return residual
 
     def run():
-        wavs = separate_core(
+        latents = separate_latents(
             params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
             audio_pad_mask, noise, None,
             cfg=cfg, candidates=candidates, use_video=False,
         )
-        float(checksum(wavs))  # sync point
-        return wavs
+        targets = decode_channel(params, latents, cfg=cfg, channel=0)
+        residual = rank_and_finish(latents, targets)
+        float(checksum(residual))  # sync point
+        return targets, residual
 
     t0 = time.time()
-    wavs = run()
+    targets, residual = run()
     compile_time = time.time() - t0
-    print(f"compile+first run: {compile_time:.1f}s, out {wavs.shape}",
-          file=sys.stderr)
+    print(f"compile+first run: {compile_time:.1f}s, targets {targets.shape} "
+          f"residual {residual.shape}", file=sys.stderr)
 
     times = []
     for _ in range(iters):

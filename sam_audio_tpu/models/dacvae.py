@@ -201,7 +201,9 @@ def encode(params, wav: jnp.ndarray, cfg: DACVAEConfig, compute_dtype=None,
     -> in_proj -> take the mean half of (mean, logvar).
     """
     if use_fused is None:
-        use_fused = jax.default_backend() == "tpu"
+        # The fused Pallas path is opt-in until it beats XLA's conv lowering
+        # (see ops/fused_conv.py).
+        use_fused = False
     z = encoder_apply(params["encoder"], pad_to_hop(wav, cfg.hop_length), cfg,
                       compute_dtype, use_fused)
     moments = C.conv1d(params["in_proj"], z, compute_dtype=compute_dtype)
@@ -218,7 +220,7 @@ def decode(params, encoded: jnp.ndarray, cfg: DACVAEConfig, compute_dtype=None,
     Matches DACVAE.decode (reference: codec.py:86-89).
     """
     if use_fused is None:
-        use_fused = jax.default_backend() == "tpu"
+        use_fused = False  # opt-in; see encode()
     if cfg.mean != 0.0 or cfg.std != 1.0:
         encoded = encoded * cfg.std + cfg.mean
     emb = C.conv1d(params["out_proj"], encoded, compute_dtype=compute_dtype)

@@ -137,7 +137,7 @@ def _repeat_for_reranking(x, candidates: int):
     static_argnames=("cfg", "candidates", "ode_method", "ode_step_size",
                      "use_video"),
 )
-def separate_core(
+def separate_latents(
     params,
     audios: jnp.ndarray,            # (B, 1, Tw)
     text_ids: jnp.ndarray,          # (B, L)
@@ -154,10 +154,8 @@ def separate_core(
     ode_step_size: float = 2 / 32,
     use_video: bool = False,
 ):
-    """Encode -> condition -> ODE -> decode, one fused XLA program.
-
-    Returns wavs (B*k, 2, Tw_padded) fp32: channel 0 = target, 1 = residual.
-    """
+    """Encode -> condition -> ODE: one fused XLA program producing generated
+    latents (B*k, T, 2C) = [target || residual] per candidate."""
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     acfg = cfg.audio_codec
 
@@ -204,17 +202,49 @@ def separate_core(
         )
         return v.astype(y.dtype)
 
-    generated = odeint(vector_field, noise.astype(jnp.float32),
-                       method=ode_method, step_size=ode_step_size)
+    return odeint(vector_field, noise.astype(jnp.float32),
+                  method=ode_method, step_size=ode_step_size)
 
-    # --- decode: (Bk, T, 2C) -> (2Bk, C, T) -> wav (Bk, 2, Tw)
-    gen = jnp.swapaxes(generated, 1, 2)  # (Bk, 2C, T)
+
+@partial(jax.jit, static_argnames=("cfg", "channel"))
+def decode_channel(params, latents: jnp.ndarray, *, cfg: SAMAudioConfig,
+                   channel: int = 0):
+    """latents: (N, T, 2C) -> waveforms (N, Tw) for one channel
+    (0 = target, 1 = residual)."""
+    acfg = cfg.audio_codec
     c = acfg.codebook_dim
-    t_frames = gen.shape[-1]
-    stacked = gen.reshape(2 * bk, c, t_frames)
-    wavs = dacvae.decode(params["audio_codec"], stacked, acfg,
-                         compute_dtype=compute_dtype)
-    return wavs.astype(jnp.float32).reshape(bk, 2, -1)
+    z = jnp.swapaxes(latents[..., channel * c : (channel + 1) * c], 1, 2)
+    wavs = dacvae.decode(params["audio_codec"], z, acfg,
+                         compute_dtype=jnp.dtype(cfg.compute_dtype))
+    return wavs.astype(jnp.float32)[:, 0, :]
+
+
+@partial(jax.jit, static_argnames=("cfg", "candidates"))
+def gather_candidates(latents: jnp.ndarray, idxs: jnp.ndarray, *,
+                      cfg: SAMAudioConfig, candidates: int):
+    """latents (B*k, T, 2C), idxs (B,) -> winners' latents (B, T, 2C)."""
+    b = latents.shape[0] // candidates
+    flat_idx = jnp.arange(b) * candidates + idxs
+    return jnp.take(latents, flat_idx, axis=0)
+
+
+def separate_core(params, audios, text_ids, text_mask, anchor_ids,
+                  anchor_alignment, audio_pad_mask, noise, video_features,
+                  *, cfg, candidates=1, ode_method="midpoint",
+                  ode_step_size=2 / 32, use_video=False):
+    """Reference-shaped convenience: latents + full (target, residual) decode
+    for every candidate. Returns (B*k, 2, Tw). The user-facing `separate`
+    path uses the lazy-decode staging instead (decode k targets, rank, decode
+    1 residual) which cuts decoder work ~45% at k=8 with identical outputs."""
+    latents = separate_latents(
+        params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
+        audio_pad_mask, noise, video_features,
+        cfg=cfg, candidates=candidates, ode_method=ode_method,
+        ode_step_size=ode_step_size, use_video=use_video,
+    )
+    tgt = decode_channel(params, latents, cfg=cfg, channel=0)
+    res = decode_channel(params, latents, cfg=cfg, channel=1)
+    return jnp.stack([tgt, res], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -328,7 +358,7 @@ class SAMAudio:
         step = ode_opt.get("step_size",
                            ode_opt.get("options", {}).get("step_size", 2 / 32))
 
-        wavs = separate_core(
+        latents = separate_latents(
             self.params,
             audios,
             text_ids,
@@ -343,20 +373,41 @@ class SAMAudio:
             ode_method=method,
             ode_step_size=float(step),
             use_video=use_video,
-        )  # (B*k, 2, Tw)
+        )  # (B*k, T, 2C)
 
-        wavs = np.asarray(jax.device_get(wavs))
         sizes = [self.feature_idx_to_wav_idx(int(s)) for s in np.asarray(batch.sizes)]
-        target = [wavs[i * k:(i + 1) * k, 0, :sizes[i]] for i in range(b)]
-        residual = [wavs[i * k:(i + 1) * k, 1, :sizes[i]] for i in range(b)]
-
-        idxs = self._rerank(batch, target, sizes, k)
-
-        return SeparationResult(
-            target=[t[i] for t, i in zip(target, idxs)],
-            residual=[r[i] for r, i in zip(residual, idxs)],
-            noise=noise,
+        has_ranker = (
+            (batch.masked_video is not None and self.visual_ranker is not None)
+            or self.text_ranker is not None
         )
+
+        if k > 1 and has_ranker:
+            # decode all k targets for ranking; the residual is decoded only
+            # for the winning candidate (identical outputs, ~45% less decoder
+            # work at k=8 than the reference's decode-everything order).
+            tgt_all = np.asarray(decode_channel(self.params, latents, cfg=cfg,
+                                                channel=0))
+            target_cands = [tgt_all[i * k:(i + 1) * k, :sizes[i]]
+                            for i in range(b)]
+            idxs = self._rerank(batch, target_cands, sizes, k)
+            chosen = gather_candidates(latents, jnp.asarray(idxs, jnp.int32),
+                                       cfg=cfg, candidates=k)
+            res_sel = np.asarray(decode_channel(self.params, chosen, cfg=cfg,
+                                                channel=1))
+            target = [target_cands[i][idxs[i]] for i in range(b)]
+            residual = [res_sel[i, :sizes[i]] for i in range(b)]
+        else:
+            idxs = [0] * b
+            chosen = gather_candidates(latents, jnp.zeros((b,), jnp.int32),
+                                       cfg=cfg, candidates=k)
+            tgt_sel = np.asarray(decode_channel(self.params, chosen, cfg=cfg,
+                                                channel=0))
+            res_sel = np.asarray(decode_channel(self.params, chosen, cfg=cfg,
+                                                channel=1))
+            target = [tgt_sel[i, :sizes[i]] for i in range(b)]
+            residual = [res_sel[i, :sizes[i]] for i in range(b)]
+
+        return SeparationResult(target=target, residual=residual, noise=noise)
 
     # -- reranking (reference model.py:306-330) ------------------------------
 

@@ -1,1 +1,9 @@
-from sam_audio_tpu.ops import attention, conv, nn, ode, resample, rope  # noqa: F401
+from sam_audio_tpu.ops import (  # noqa: F401
+    attention,
+    conv,
+    mel,
+    nn,
+    ode,
+    resample,
+    rope,
+)

@@ -90,7 +90,7 @@ def _fused_res_unit_padded(x, w7, b7, w1, b1, alpha1, alpha2, *, dilation: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x stays in HBM; manual DMA
             pl.BlockSpec((c, c, k), lambda b_, i: (0, 0, 0)),
             pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
             pl.BlockSpec((c, c), lambda b_, i: (0, 0)),
@@ -112,15 +112,17 @@ def _fused_res_unit_padded(x, w7, b7, w1, b1, alpha1, alpha2, *, dilation: int,
 
 
 def _pick_block_t(c: int, t: int) -> int:
-    """Largest lane-aligned tile that keeps VMEM under ~12 MB."""
-    for bt in (2048, 1024, 512, 256, 128):
+    """Largest 128-aligned tile dividing t that keeps VMEM under ~10 MB."""
+    best = 0
+    for mult in range(1, 33):  # tiles up to 4096
+        bt = 128 * mult
         if t % bt != 0:
             continue
-        # x tile (bf16) + fp32 acc + weights (bf16)
-        vmem = c * (bt + 64) * 2 + c * bt * 4 * 2 + c * c * 8 * 2
-        if vmem < 12 * 1024 * 1024:
-            return bt
-    return 0
+        # x tile (bf16) + fp32 acc + weights (bf16), double-buffered margin
+        vmem = c * (bt + 256) * 2 + c * bt * 4 * 2 + c * c * 8 * 2
+        if vmem < 10 * 1024 * 1024:
+            best = bt
+    return best
 
 
 def fused_residual_unit(params, x, dilation: int, compute_dtype=jnp.bfloat16,

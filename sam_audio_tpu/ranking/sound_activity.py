@@ -41,15 +41,26 @@ def _ratio_to_db(ratio: float) -> float:
     return 20 * math.log10(ratio)
 
 
+def _windowed_rms(samples: np.ndarray, win: int, hop: int) -> np.ndarray:
+    """RMS of windows [i*hop, i*hop+win) via a cumulative sum of squares —
+    vectorized but numerically identical to per-window means."""
+    n = len(samples)
+    starts = np.arange(0, max(n - win, 0) + 1, hop)
+    if starts.size == 0:
+        return np.zeros(0)
+    cs = np.concatenate([[0.0], np.cumsum(samples.astype(np.float64) ** 2)])
+    ends = np.minimum(starts + win, n)
+    sums = cs[ends] - cs[starts]
+    return np.sqrt(sums / np.maximum(ends - starts, 1))
+
+
 def get_peak_rms(samples: np.ndarray, sr: int, win_ms=250, hop_ms=100) -> float:
     """Peak windowed RMS relative to max amplitude (reference:
     sound_activity.py:18-30). samples: int16."""
     win = int(sr * win_ms / 1000)
     hop = int(sr * hop_ms / 1000)
-    last_start = len(samples) - win
-    peak = -1.0
-    for i in range(0, max(last_start, 0) + 1, hop):
-        peak = max(peak, _rms(samples[i : i + win]) / 32768.0)
+    rms = _windowed_rms(samples, win, hop)
+    peak = float(rms.max() / 32768.0) if rms.size else -1.0
     return max(peak, 0.0)
 
 
@@ -77,14 +88,15 @@ def detect_nonsilent(
     threshold_amp = (10 ** (sil_threshold / 20)) * 32768.0
 
     # pydub: slide a min_sil_ms window by seek_step; window is silent if its
-    # RMS is BELOW the threshold.
-    silent_starts = []
+    # RMS is BELOW the threshold. Vectorized via cumulative sum of squares.
     last_start = seg_len_ms - min_sil_ms
-    for start_ms in range(0, last_start + 1, seek_step_ms):
-        s = int(start_ms * _SAMPLE_RATE / 1000)
-        e = int((start_ms + min_sil_ms) * _SAMPLE_RATE / 1000)
-        if _rms(samples[s:e]) <= threshold_amp:
-            silent_starts.append(start_ms)
+    start_ms_arr = np.arange(0, last_start + 1, seek_step_ms)
+    s_idx = (start_ms_arr * _SAMPLE_RATE // 1000).astype(np.int64)
+    e_idx = ((start_ms_arr + min_sil_ms) * _SAMPLE_RATE // 1000).astype(np.int64)
+    e_idx = np.minimum(e_idx, len(samples))
+    cs = np.concatenate([[0.0], np.cumsum(samples.astype(np.float64) ** 2)])
+    rms = np.sqrt((cs[e_idx] - cs[s_idx]) / np.maximum(e_idx - s_idx, 1))
+    silent_starts = start_ms_arr[rms <= threshold_amp].tolist()
 
     # merge overlapping silent windows into silent ranges
     silent_ranges = []
