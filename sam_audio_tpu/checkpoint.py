@@ -384,6 +384,41 @@ def convert_t5_state_dict(sd: Dict[str, np.ndarray], cfg: T5EncoderConfig):
     }
 
 
+def convert_judge_state_dict(sd: Dict[str, np.ndarray], cfg):
+    """Reference SAMAudioJudgeModel state_dict -> our judge params
+    (cfg: SAMAudioJudgeConfig; reference judge.py:39-72).
+
+    Converts the codec encoder, ModernBERT text tower, and all fusion
+    projections. The two PE-AV transformer towers use the external
+    perception-models architecture whose exact key layout ships with the
+    checkpoint; their keys are returned in `unconverted` for a follow-up map
+    (our towers run randomly initialized until then).
+    """
+    from sam_audio_tpu.models.modernbert import convert_modernbert_state_dict
+
+    params = {
+        "audio_codec": convert_dacvae(sd, cfg.audio_codec, "audio_codec",
+                                      with_decoder=False),
+        "data_proj": _linear(sd, "data_proj"),
+        "text_model": convert_modernbert_state_dict(sd, cfg.text_model,
+                                                    prefix="text_model."),
+        "cat_audio_proj": _linear(sd, "cat_audio_proj"),
+        "text_proj1": _linear(sd, "text_proj1", bias=False),
+        "text_proj2": _linear(sd, "text_proj2"),
+        "layer_norm": _norm(sd, "layer_norm", bias=True),
+        "proj_audio_and_text": _linear(sd, "proj_audio_and_text"),
+        "finetune_data_proj": _linear(sd, "finetune_data_proj"),
+        "head": _linear(sd, "head", bias=False),
+        "mean": jnp.asarray(sd["mean"]),
+        "std": jnp.asarray(sd["std"]),
+    }
+    unconverted = sorted(
+        k for k in sd
+        if k.startswith(("transformer.", "finetune_transformer."))
+    )
+    return params, unconverted
+
+
 # ---------------------------------------------------------------------------
 # End-to-end loading
 # ---------------------------------------------------------------------------

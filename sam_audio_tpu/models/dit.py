@@ -230,10 +230,13 @@ def dit_init(key, cfg: TransformerConfig, dtype=jnp.float32):
 
 
 def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
-              memory=None, memory_padding_mask=None, compute_dtype=None):
+              memory=None, memory_padding_mask=None, compute_dtype=None,
+              remat: bool = False):
     """x: (B, T, in_channels or dim); time: (B,); memory: (B, L, context_dim).
 
     Returns (B, T, out_channels). Reference: sam_audio/model/transformer.py:473-524.
+    `remat=True` rematerializes each layer in the backward pass (training
+    memory ~ one layer's activations instead of n_layers).
     """
     if "data_proj" in params:
         x = N.linear(params["data_proj"], x, compute_dtype)
@@ -273,6 +276,8 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
         )
         return out, None
 
+    if remat:
+        scan_body = jax.checkpoint(scan_body)
     h, _ = jax.lax.scan(scan_body, h, params["layers"])
 
     shift, scale = (

@@ -99,7 +99,7 @@ def align_inputs(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
 def forward(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
             text_features, time, masked_video_features=None, text_mask=None,
             anchor_ids=None, anchor_alignment=None, audio_pad_mask=None,
-            compute_dtype=None):
+            compute_dtype=None, remat: bool = False):
     """One ODE function evaluation. Shapes:
     noisy_audio/audio_features: (B, T, 2*latent); text_features: (B, L, text_dim);
     time: (B,). Returns velocity (B, T, out_channels)."""
@@ -117,6 +117,7 @@ def forward(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
         params["transformer"], aligned, time, cfg=cfg.transformer,
         padding_mask=audio_pad_mask, memory=memory,
         memory_padding_mask=text_mask, compute_dtype=compute_dtype,
+        remat=remat,
     )
 
 
@@ -309,6 +310,14 @@ class SAMAudio:
         return dacvae.feature_idx_to_wav_idx(
             feature_idx, self.hop_length, self.sample_rate
         )
+
+    def unbatch(self, wavs, sizes, time_dim: int = -1):
+        """Trim padded rows to their true lengths (reference model.py:340-344).
+        wavs: array-like (B, ..., T); sizes: per-item sample counts."""
+        result = []
+        for row, size in zip(wavs, sizes):
+            result.append(np.asarray(row)[..., : int(size)])
+        return result
 
     # -- main API ------------------------------------------------------------
 

@@ -29,10 +29,11 @@ def _round_up128(x: int) -> int:
 
 
 def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
-                     out_ref, x_vmem, sem, *, dilation: int, block_t: int,
-                     kernel_size: int):
+                     out_ref, x_vmem, cat_vmem, sem, *, dilation: int,
+                     block_t: int, kernel_size: int):
     b = pl.program_id(0)
     i = pl.program_id(1)
+    c = out_ref.shape[1]
     pad = (kernel_size - 1) * dilation // 2
     # DMA slices must be 128-aligned on the minor dim; the input is pre-padded
     # so every load window [i*block_t, i*block_t + load_t) is in bounds.
@@ -49,14 +50,19 @@ def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
     xf = x_vmem[...].astype(jnp.float32)
     a1 = a1_ref[...].astype(jnp.float32)  # (C, 1)
     h = xf + (1.0 / (a1 + 1e-9)) * jnp.square(jnp.sin(a1 * xf))
-    h = h.astype(w7_ref.dtype)
 
-    acc = jnp.zeros((out_ref.shape[1], block_t), jnp.float32)
+    # im2col: one (C, K*C) @ (K*C, block_t) MXU matmul instead of K small-K
+    # matmuls. Tap shifts use pltpu.roll (hardware lane rotation, fp32-only)
+    # followed by an ALIGNED slice — misaligned lane slices are
+    # compile-pathological in Mosaic.
     for j in range(kernel_size):
-        acc += jax.lax.dot(
-            w7_ref[:, :, j], h[:, j * dilation : j * dilation + block_t],
-            preferred_element_type=jnp.float32,
+        # left-shift by j*dilation == right-roll by (load_t - j*dilation)
+        shifted = pltpu.roll(h, load_t - j * dilation, 1) if j else h
+        cat_vmem[j * c : (j + 1) * c, :] = shifted[:, :block_t].astype(
+            cat_vmem.dtype
         )
+    acc = jax.lax.dot(w7_ref[...], cat_vmem[...],
+                      preferred_element_type=jnp.float32)
     acc += b7_ref[...].astype(jnp.float32)  # (C, 1) broadcast
 
     a2 = a2_ref[...].astype(jnp.float32)
@@ -71,12 +77,15 @@ def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("dilation", "block_t", "interpret"))
-def _fused_res_unit_padded(x, w7, b7, w1, b1, alpha1, alpha2, *, dilation: int,
-                           block_t: int, interpret: bool):
-    """x: (B, C, T) with T % block_t == 0. Returns (B, C, T)."""
+                   static_argnames=("dilation", "block_t", "kernel_size",
+                                    "interpret"))
+def _fused_res_unit_padded(x, w7_flat, b7, w1, b1, alpha1, alpha2, *,
+                           dilation: int, block_t: int, kernel_size: int,
+                           interpret: bool):
+    """x: (B, C, T) with T % block_t == 0; w7_flat: (C, K*C) with
+    w7_flat[:, j*C:(j+1)*C] = W7[:, :, j]. Returns (B, C, T)."""
     b, c, t = x.shape
-    k = w7.shape[-1]
+    k = kernel_size
     pad = (k - 1) * dilation // 2
     load_t = _round_up128(block_t + 2 * pad)
     # left pad: halo; right pad: halo + alignment slack for the last tile
@@ -91,7 +100,7 @@ def _fused_res_unit_padded(x, w7, b7, w1, b1, alpha1, alpha2, *, dilation: int,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # x stays in HBM; manual DMA
-            pl.BlockSpec((c, c, k), lambda b_, i: (0, 0, 0)),
+            pl.BlockSpec((c, k * c), lambda b_, i: (0, 0)),
             pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
             pl.BlockSpec((c, c), lambda b_, i: (0, 0)),
             pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
@@ -102,25 +111,29 @@ def _fused_res_unit_padded(x, w7, b7, w1, b1, alpha1, alpha2, *, dilation: int,
         out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((c, load_t), x.dtype),
+            pltpu.VMEM((k * c, block_t), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x_padded, w7, b7, w1, b1, alpha1, alpha2)
+    )(x_padded, w7_flat, b7, w1, b1, alpha1, alpha2)
 
 
-def _pick_block_t(c: int, t: int) -> int:
+def _pick_block_t(c: int, t: int, k: int = 7) -> int:
     """Largest 128-aligned tile dividing t that keeps VMEM under ~10 MB."""
     best = 0
     for mult in range(1, 33):  # tiles up to 4096
         bt = 128 * mult
         if t % bt != 0:
             continue
-        # x tile (bf16) + fp32 acc + weights (bf16), double-buffered margin
-        vmem = c * (bt + 256) * 2 + c * bt * 4 * 2 + c * c * 8 * 2
-        if vmem < 10 * 1024 * 1024:
+        # x tile + im2col scratch (bf16) + fp32 acc + weights (bf16);
+        # leave headroom for Mosaic's double-buffered in/out blocks within
+        # the 16 MB scoped-vmem limit
+        vmem = (c * (bt + 256) * 2 + k * c * bt * 2 + c * bt * 4 * 2
+                + (k + 1) * c * c * 2)
+        if vmem < 6 * 1024 * 1024:
             best = bt
     return best
 
@@ -141,6 +154,8 @@ def fused_residual_unit(params, x, dilation: int, compute_dtype=jnp.bfloat16,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     w7 = params["conv1"]["weight"].astype(compute_dtype)  # (C, C, K)
+    # flatten taps into the contraction dim: (C, K*C), tap-major columns
+    w7_flat = jnp.transpose(w7, (0, 2, 1)).reshape(c, k * c)
     b7 = params["conv1"].get("bias",
                              jnp.zeros((c,), jnp.float32)).reshape(c, 1)
     w1 = params["conv2"]["weight"][:, :, 0].astype(compute_dtype)  # (C, C)
@@ -149,6 +164,6 @@ def fused_residual_unit(params, x, dilation: int, compute_dtype=jnp.bfloat16,
     a1 = params["snake1"]["alpha"].reshape(c, 1)
     a2 = params["snake2"]["alpha"].reshape(c, 1)
     return _fused_res_unit_padded(
-        x.astype(compute_dtype), w7, b7, w1, b1, a1, a2,
-        dilation=dilation, block_t=block_t, interpret=interpret,
+        x.astype(compute_dtype), w7_flat, b7, w1, b1, a1, a2,
+        dilation=dilation, block_t=block_t, kernel_size=k, interpret=interpret,
     )

@@ -92,6 +92,11 @@ class Batch:
     def _wav_to_feature_idx(self, wav_idx: float) -> int:
         return math.ceil(wav_idx / self.hop_length)
 
+    def to(self, device=None):
+        """API-compat no-op (reference processor.py:66-76): arrays are numpy
+        and cross to HBM once at the jit boundary."""
+        return self
+
     def process_anchors(self, anchors: Optional[List[List[Anchor]]]):
         """Spans (seconds) -> anchor_ids (B, A) + per-frame alignment (B, T)
         (reference: sam_audio/processor.py:78-124)."""

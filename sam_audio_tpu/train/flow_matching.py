@@ -56,6 +56,7 @@ def flow_matching_loss(params, cfg: SAMAudioConfig, batch: Dict[str, Any],
         anchor_alignment=batch["anchor_alignment"],
         audio_pad_mask=batch["audio_pad_mask"],
         compute_dtype=jnp.dtype(cfg.compute_dtype),
+        remat=True,  # O(1-layer) activation memory in the backward pass
     ).astype(jnp.float32)
 
     err = jnp.square(v_pred - v_target)
