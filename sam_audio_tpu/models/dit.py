@@ -113,7 +113,7 @@ def dit_block_init(key, cfg: TransformerConfig, dtype=jnp.float32):
 
 def dit_block_apply(params, h, *, cfg: TransformerConfig, cross_x, t0,
                     padding_mask, memory_padding_mask, rope_tables,
-                    compute_dtype=None):
+                    compute_dtype=None, dropout_rng=None):
     """h: (B, T, dim); t0: (B, 6*dim) shared timestep projection."""
     b = h.shape[0]
     biases = params["scale_shift_table"][None].astype(jnp.float32) + t0.reshape(
@@ -147,6 +147,8 @@ def dit_block_apply(params, h, *, cfg: TransformerConfig, cross_x, t0,
         N.modulate(N.rmsnorm(params["ffn_norm"], h, cfg.norm_eps),
                    shift_mlp, scale_mlp),
         cfg.non_linearity, compute_dtype,
+        dropout_rate=cfg.dropout if dropout_rng is not None else 0.0,
+        dropout_rng=dropout_rng,
     )
     return h + N.gate(h_ff, gate_mlp)
 
@@ -231,12 +233,14 @@ def dit_init(key, cfg: TransformerConfig, dtype=jnp.float32):
 
 def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
               memory=None, memory_padding_mask=None, compute_dtype=None,
-              remat: bool = False):
+              remat: bool = False, dropout_rng=None):
     """x: (B, T, in_channels or dim); time: (B,); memory: (B, L, context_dim).
 
     Returns (B, T, out_channels). Reference: sam_audio/model/transformer.py:473-524.
     `remat=True` rematerializes each layer in the backward pass (training
-    memory ~ one layer's activations instead of n_layers).
+    memory ~ one layer's activations instead of n_layers). `dropout_rng`
+    enables training dropout at the reference's sites (post-stem, FFN
+    hidden, pre-output; rate cfg.dropout).
     """
     if "data_proj" in params:
         x = N.linear(params["data_proj"], x, compute_dtype)
@@ -245,6 +249,12 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
     h = patcher_apply(params["x_embedder"], jnp.swapaxes(x, 1, 2),
                       compute_dtype=compute_dtype)
     h = jnp.swapaxes(h, 1, 2)
+
+    stem_rng = out_rng = layer_rngs = None
+    if dropout_rng is not None:
+        stem_rng, out_rng, lkey = jax.random.split(dropout_rng, 3)
+        layer_rngs = jax.random.split(lkey, cfg.n_layers)
+        h = N.dropout(h, cfg.dropout, stem_rng)  # reference transformer.py:488
 
     t = N.timestep_embedder(
         params["t_embedder"], time, cfg.frequency_embedding_dim,
@@ -268,17 +278,22 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
         theta = max(10000, 2 * cfg.max_positions)
         rope_tables = precompute_rope(cfg.head_dim, h.shape[1], theta)
 
-    def scan_body(carry, layer_params):
+    with_dropout = layer_rngs is not None
+
+    def scan_body(carry, xs):
+        layer_params, layer_rng = xs if with_dropout else (xs, None)
         out = dit_block_apply(
             layer_params, carry, cfg=cfg, cross_x=y, t0=t0,
             padding_mask=padding_mask, memory_padding_mask=memory_padding_mask,
             rope_tables=rope_tables, compute_dtype=compute_dtype,
+            dropout_rng=layer_rng,
         )
         return out, None
 
     if remat:
         scan_body = jax.checkpoint(scan_body)
-    h, _ = jax.lax.scan(scan_body, h, params["layers"])
+    xs = (params["layers"], layer_rngs) if with_dropout else params["layers"]
+    h, _ = jax.lax.scan(scan_body, h, xs)
 
     shift, scale = (
         params["final_layer_scale_shift_table"][None].astype(jnp.float32)
@@ -289,4 +304,6 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
 
     h = N.rmsnorm(params["norm"], h, cfg.norm_eps)
     h = N.modulate(h, shift, scale)
+    if out_rng is not None:
+        h = N.dropout(h, cfg.dropout, out_rng)  # reference transformer.py:517
     return N.linear(params["output"], h, compute_dtype)

@@ -99,7 +99,7 @@ def align_inputs(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
 def forward(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
             text_features, time, masked_video_features=None, text_mask=None,
             anchor_ids=None, anchor_alignment=None, audio_pad_mask=None,
-            compute_dtype=None, remat: bool = False):
+            compute_dtype=None, remat: bool = False, dropout_rng=None):
     """One ODE function evaluation. Shapes:
     noisy_audio/audio_features: (B, T, 2*latent); text_features: (B, L, text_dim);
     time: (B,). Returns velocity (B, T, out_channels)."""
@@ -117,7 +117,7 @@ def forward(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
         params["transformer"], aligned, time, cfg=cfg.transformer,
         padding_mask=audio_pad_mask, memory=memory,
         memory_padding_mask=text_mask, compute_dtype=compute_dtype,
-        remat=remat,
+        remat=remat, dropout_rng=dropout_rng,
     )
 
 
@@ -263,13 +263,18 @@ class SAMAudio:
     """
 
     def __init__(self, cfg: SAMAudioConfig, params, tokenizer=None,
-                 visual_ranker=None, text_ranker=None, span_predictor=None):
+                 visual_ranker=None, text_ranker=None, span_predictor=None,
+                 vision_encoder=None):
         self.cfg = cfg
         self.params = params
         self._tokenizer = tokenizer
         self.visual_ranker = visual_ranker
         self.text_ranker = text_ranker
         self.span_predictor = span_predictor
+        # The PE-Core vision tower ships separately from checkpoint.pt
+        # (reference model.py:346-359); attach a loaded PerceptionEncoder
+        # here, or leave None to lazily build one on first visual prompt.
+        self.vision_encoder = vision_encoder
 
     # -- constructors -------------------------------------------------------
 

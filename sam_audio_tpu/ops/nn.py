@@ -110,6 +110,14 @@ def gate(x, g):
     return x * g
 
 
+def dropout(x, rate: float, rng=None):
+    """Inverted dropout; identity when rate==0 or rng is None (inference)."""
+    if rate <= 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+
+
 def get_nonlinearity(kind: str):
     """reference: sam_audio/model/transformer.py:25-33 ('swiglu' handled by callers)."""
     return {
@@ -141,12 +149,14 @@ def projection_init(key, in_dim, out_dim, non_linearity: str, fc_bias=False,
     return p
 
 
-def projection(params, x, non_linearity: str, compute_dtype=None):
+def projection(params, x, non_linearity: str, compute_dtype=None,
+               dropout_rate: float = 0.0, dropout_rng=None):
     h1 = linear(params["w1"], x, compute_dtype)
     if non_linearity == "swiglu":
         h = jax.nn.silu(h1) * linear(params["w3"], x, compute_dtype)
     else:
         h = get_nonlinearity(non_linearity)(h1)
+    h = dropout(h, dropout_rate, dropout_rng)  # reference transformer.py:79
     return linear(params["w2"], h, compute_dtype)
 
 
@@ -168,12 +178,14 @@ def feedforward_init(key, dim, hidden_dim, non_linearity="swiglu", fc_bias=False
     return p
 
 
-def feedforward(params, x, non_linearity="swiglu", compute_dtype=None):
+def feedforward(params, x, non_linearity="swiglu", compute_dtype=None,
+                dropout_rate: float = 0.0, dropout_rng=None):
     h1 = linear(params["w1"], x, compute_dtype)
     if non_linearity == "swiglu":
         h = jax.nn.silu(h1) * linear(params["w3"], x, compute_dtype)
     else:
         h = get_nonlinearity(non_linearity)(h1)
+    h = dropout(h, dropout_rate, dropout_rng)  # reference transformer.py:205
     return linear(params["w2"], h, compute_dtype)
 
 

@@ -38,7 +38,7 @@ def flow_matching_loss(params, cfg: SAMAudioConfig, batch: Dict[str, Any],
     """
     x1 = batch["target_latents"].astype(jnp.float32)
     b = x1.shape[0]
-    t_rng, n_rng = jax.random.split(rng)
+    t_rng, n_rng, d_rng = jax.random.split(rng, 3)
     t = jax.random.uniform(t_rng, (b,), jnp.float32)
     x0 = jax.random.normal(n_rng, x1.shape, jnp.float32)
     xt = (1.0 - t[:, None, None]) * x0 + t[:, None, None] * x1
@@ -57,6 +57,7 @@ def flow_matching_loss(params, cfg: SAMAudioConfig, batch: Dict[str, Any],
         audio_pad_mask=batch["audio_pad_mask"],
         compute_dtype=jnp.dtype(cfg.compute_dtype),
         remat=True,  # O(1-layer) activation memory in the backward pass
+        dropout_rng=d_rng if cfg.transformer.dropout > 0 else None,
     ).astype(jnp.float32)
 
     err = jnp.square(v_pred - v_target)

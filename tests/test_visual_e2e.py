@@ -1,0 +1,84 @@
+"""Visual prompting end-to-end: masked video -> PE vision tower ->
+AlignModalities fusion -> separate -> ImageBind visual reranking."""
+
+import jax
+import numpy as np
+
+from sam_audio_tpu.config import ImageBindRankerConfig, tiny_test_config
+from sam_audio_tpu.models.imagebind import ImageBindConfig, ImageBindModel
+from sam_audio_tpu.models.pe_clip import PerceptionEncoder
+from sam_audio_tpu.models.sam_audio import SAMAudio
+from sam_audio_tpu.processor import SAMAudioProcessor
+from sam_audio_tpu.ranking.imagebind import ImageBindRanker
+from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+CFG = tiny_test_config()
+
+
+def make_model():
+    model = SAMAudio.init_random(
+        jax.random.PRNGKey(0), CFG,
+        tokenizer=ByteFallbackTokenizer(CFG.text_encoder.vocab_size),
+    )
+    model.vision_encoder = PerceptionEncoder.init_random(
+        jax.random.PRNGKey(1), CFG.vision_encoder
+    )
+    return model
+
+
+def make_batch(k_videos=1):
+    p = SAMAudioProcessor(
+        audio_hop_length=CFG.audio_codec.hop_length,
+        audio_sampling_rate=CFG.audio_codec.sample_rate,
+    )
+    rng = np.random.RandomState(0)
+    audios = [rng.randn(1, 64).astype(np.float32) * 0.1]
+    video = rng.randint(0, 255, (6, 3, 14, 14), np.uint8)
+    mask = np.zeros_like(video)
+    mask[:, :, :7] = 1
+    masked = p.mask_videos([video], [mask])
+    return p(descriptions=["on-screen sound"], audios=audios,
+             masked_videos=masked)
+
+
+def test_visual_prompt_changes_output():
+    model = make_model()
+    # make the video gate nonzero so visual conditioning contributes
+    model.params["align_masked_video"]["gate"] = (
+        model.params["align_masked_video"]["gate"] + 1.0
+    )
+    batch_v = make_batch()
+    noise = np.zeros((1, batch_v.anchor_alignment.shape[-1],
+                      2 * CFG.audio_codec.codebook_dim), np.float32)
+    res_v = model.separate(batch_v, noise=noise)
+
+    p = SAMAudioProcessor(
+        audio_hop_length=CFG.audio_codec.hop_length,
+        audio_sampling_rate=CFG.audio_codec.sample_rate,
+    )
+    rng = np.random.RandomState(0)
+    batch_t = p(descriptions=["on-screen sound"],
+                audios=[rng.randn(1, 64).astype(np.float32) * 0.1])
+    res_t = model.separate(batch_t, noise=noise)
+    assert np.abs(res_v.target[0] - res_t.target[0]).max() > 1e-6
+    assert np.isfinite(res_v.target[0]).all()
+
+
+def test_visual_reranking_path():
+    model = make_model()
+    tiny_ib = ImageBindConfig(
+        sample_rate=8000, clip_duration_s=0.25, num_audio_clips=2, n_mels=32,
+        target_frames=16, n_fft=128, hop_length=64, audio_patch=8,
+        audio_hidden=16, audio_layers=1, audio_heads=2, image_size=32,
+        image_patch=16, num_video_clips=2, vision_hidden=16, vision_layers=1,
+        vision_heads=2, embed_dim=8,
+    )
+    model.visual_ranker = ImageBindRanker(
+        ImageBindRankerConfig(),
+        model=ImageBindModel.init_random(jax.random.PRNGKey(2), tiny_ib),
+    )
+    batch = make_batch()
+    res = model.separate(batch, reranking_candidates=2,
+                         rng=jax.random.PRNGKey(3))
+    assert res.target[0].shape == (64,)
+    assert np.isfinite(res.target[0]).all()
