@@ -229,6 +229,24 @@ def gather_candidates(latents: jnp.ndarray, idxs: jnp.ndarray, *,
     return jnp.take(latents, flat_idx, axis=0)
 
 
+def decode_channel_chunked(params, latents, *, cfg: SAMAudioConfig,
+                           channel: int = 0, max_streams: int = 16):
+    """Chunked decode: the DAC decoder's activations at 48 kHz are ~180 MB
+    per 10 s stream, so very large batch*k products decode in groups (equal
+    chunk sizes reuse one compiled program)."""
+    n = latents.shape[0]
+    if n <= max_streams:
+        return decode_channel(params, latents, cfg=cfg, channel=channel)
+    chunk = max_streams
+    while n % chunk != 0:
+        chunk -= 1
+    outs = [
+        decode_channel(params, latents[i : i + chunk], cfg=cfg, channel=channel)
+        for i in range(0, n, chunk)
+    ]
+    return jnp.concatenate(outs, axis=0)
+
+
 def separate_core(params, audios, text_ids, text_mask, anchor_ids,
                   anchor_alignment, audio_pad_mask, noise, video_features,
                   *, cfg, candidates=1, ode_method="midpoint",
@@ -399,8 +417,8 @@ class SAMAudio:
             # decode all k targets for ranking; the residual is decoded only
             # for the winning candidate (identical outputs, ~45% less decoder
             # work at k=8 than the reference's decode-everything order).
-            tgt_all = np.asarray(decode_channel(self.params, latents, cfg=cfg,
-                                                channel=0))
+            tgt_all = np.asarray(decode_channel_chunked(
+                self.params, latents, cfg=cfg, channel=0))
             target_cands = [tgt_all[i * k:(i + 1) * k, :sizes[i]]
                             for i in range(b)]
             idxs = self._rerank(batch, target_cands, sizes, k)
