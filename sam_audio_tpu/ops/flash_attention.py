@@ -39,17 +39,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
         acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
-    q = q_ref[0, :, 0, :]  # (block_q, d)
-    k = k_ref[0, :, 0, :]  # (block_k, d)
-    v = v_ref[0, :, 0, :]
+    q = q_ref[0, 0]  # (block_q, d)
+    k = k_ref[0, 0]  # (block_k, d)
+    v = v_ref[0, 0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (block_q, block_k)
     s = s * scale
 
-    mask = mask_ref[0, :]  # (block_k,) int8: 1 = attend
-    s = s + jnp.where(mask[None, :] != 0, 0.0, DEFAULT_MASK_VALUE)
+    # additive mask via float arithmetic — broadcasting 1-bit vectors trips
+    # Mosaic relayout, so keep everything f32
+    mask_f = mask_ref[0, :, :].astype(jnp.float32)  # (1, block_k); 1 = attend
+    s = s + (1.0 - mask_f) * DEFAULT_MASK_VALUE
 
     m_prev = m_scratch[...]       # (block_q, 128)
     l_prev = l_scratch[...]
@@ -72,32 +74,39 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
     def _store():
         l_final = l_scratch[...][:, :1]
         l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
-        o_ref[0, :, 0, :] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k",
                                              "interpret"))
 def _flash_padded(q, k, v, mask, *, scale: float, block_q: int, block_k: int,
                   interpret: bool):
+    """q, k, v arrive (B, S, H, D); the kernel runs (B, H, S, D) so block
+    shapes end in (seq_tile, head_dim) — Mosaic requires the last two block
+    dims to tile (8, 128)."""
     b, sq, h, d = q.shape
     sk = k.shape[1]
+    q = jnp.swapaxes(q, 1, 2)
+    k = jnp.swapaxes(k, 1, 2)
+    v = jnp.swapaxes(v, 1, 2)
+    mask = mask[:, None, :]  # (B, 1, Sk)
     kv_blocks = sk // block_k
     grid = (b, h, sq // block_q, kv_blocks)
 
     kernel = functools.partial(
         _flash_kernel, scale=scale, kv_blocks=kv_blocks, block_k=block_k
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda b_, h_, q_, kv: (b_, q_, h_, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda b_, h_, q_, kv: (b_, kv, h_, 0)),
-            pl.BlockSpec((1, block_k, 1, d), lambda b_, h_, q_, kv: (b_, kv, h_, 0)),
-            pl.BlockSpec((1, block_k), lambda b_, h_, q_, kv: (b_, kv)),
+            pl.BlockSpec((1, 1, block_q, d), lambda b_, h_, q_, kv: (b_, h_, q_, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, q_, kv: (b_, h_, kv, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda b_, h_, q_, kv: (b_, h_, kv, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b_, h_, q_, kv: (b_, 0, kv)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d),
-                               lambda b_, h_, q_, kv: (b_, q_, h_, 0)),
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda b_, h_, q_, kv: (b_, h_, q_, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -109,6 +118,7 @@ def _flash_padded(q, k, v, mask, *, scale: float, block_q: int, block_k: int,
         ),
         interpret=interpret,
     )(q, k, v, mask)
+    return jnp.swapaxes(out, 1, 2)
 
 
 def _round_up(x: int, m: int) -> int:
