@@ -226,19 +226,14 @@ def convert_dit(sd: Dict[str, np.ndarray], cfg, prefix="transformer"):
                 "scale_shift_table": jnp.asarray(sd[f"{lp}.scale_shift_table"]),
             }
         )
-    stacked = {}
-
-    def stack(paths, trees):
+    def stack(trees):
         out = {}
         for k in trees[0]:
             subs = [t[k] for t in trees]
-            if isinstance(subs[0], dict):
-                out[k] = stack(paths + [k], subs)
-            else:
-                out[k] = jnp.stack(subs)
+            out[k] = stack(subs) if isinstance(subs[0], dict) else jnp.stack(subs)
         return out
 
-    stacked = stack([], layers)
+    stacked = stack(layers)
 
     p = {
         "layers": stacked,

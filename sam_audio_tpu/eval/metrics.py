@@ -8,7 +8,7 @@ returning {metric_name: [per-item floats]}.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -103,19 +103,18 @@ class CLAP:
 
     def __call__(self, target_wavs, descriptions,
                  target_wavs_sample_rate: int = 48_000, **kwargs):
+        from sam_audio_tpu.models.clap import fit_duration_np
         from sam_audio_tpu.ops.resample import resample_np
 
         sr = self.model.cfg.sample_rate
+        n = self.model.cfg.n_samples
         wavs = []
         for w in target_wavs:
             w = np.asarray(w, np.float32).reshape(-1)
             if target_wavs_sample_rate != sr:
                 w = resample_np(w, target_wavs_sample_rate, sr)
-            wavs.append(w)
-        tmax = max(w.shape[-1] for w in wavs)
-        batch = np.zeros((len(wavs), tmax), np.float32)
-        for i, w in enumerate(wavs):
-            batch[i, : w.shape[-1]] = w
+            wavs.append(fit_duration_np(w, n))
+        batch = np.stack(wavs)
         audio_embs = np.asarray(
             self.model.get_audio_embedding(jnp.asarray(batch))
         )

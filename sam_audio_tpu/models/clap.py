@@ -102,6 +102,23 @@ def fit_duration(wav: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     return wav
 
 
+def fit_duration_np(wav: np.ndarray, n_samples: int) -> np.ndarray:
+    """Per-row numpy variant for host batching of variable-length audio:
+    repeat-pads each waveform's TRUE length (not a zero-padded row), matching
+    laion_clap's per-file pipeline. wav: (T,)."""
+    wav = np.asarray(wav, np.float32).reshape(-1)
+    t = wav.shape[-1]
+    if t == 0:
+        return np.zeros(n_samples, np.float32)
+    if t < n_samples:
+        wav = np.tile(wav, int(np.ceil(n_samples / t)))
+        t = wav.shape[-1]
+    if t > n_samples:
+        start = (t - n_samples) // 2
+        wav = wav[start : start + n_samples]
+    return wav
+
+
 def clap_audio_embed(params, cfg: ClapConfig, wav: jnp.ndarray,
                      compute_dtype=None) -> jnp.ndarray:
     """wav: (B, T) at cfg.sample_rate -> (B, embed_dim) L2-normalized."""

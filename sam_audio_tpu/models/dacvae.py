@@ -31,7 +31,7 @@ with the reference's reflect-padding of the waveform to a hop multiple
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ original weights needs an imagebind key map once checkpoints are on-host.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ HBM safety on very long videos.
 
 from __future__ import annotations
 
-import math
 from typing import List, Sequence
 
 import jax

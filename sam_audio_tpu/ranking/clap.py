@@ -44,26 +44,20 @@ class ClapRanker(Ranker):
         sample_rate: int = 48_000,
         **kwargs,
     ) -> np.ndarray:
+        from sam_audio_tpu.models.clap import fit_duration_np
+
         bsz = len(extracted_audio)
         k = int(np.asarray(extracted_audio[0]).shape[0])
-        wavs = []
+        n = self.model.cfg.n_samples
+        rows = []
         for item in extracted_audio:
             arr = np.asarray(item, np.float32)
             if sample_rate != CLAP_SAMPLE_RATE:
                 arr = resample_np(arr, sample_rate, CLAP_SAMPLE_RATE)
-            wavs.append(arr)
-        tmax = max(w.shape[-1] for w in wavs)
-        n = self.model.cfg.n_samples
-        tmax = max(tmax, 1)
-        flat = np.zeros((bsz * k, min(tmax, n) if tmax >= n else tmax),
-                        np.float32)
-        for i, w in enumerate(wavs):
             for j in range(k):
-                row = w[j]
-                if row.shape[-1] > flat.shape[-1]:
-                    start = (row.shape[-1] - flat.shape[-1]) // 2
-                    row = row[start : start + flat.shape[-1]]
-                flat[i * k + j, : row.shape[-1]] = row
+                # per-candidate repeatpad/center-trunc on the TRUE length
+                rows.append(fit_duration_np(arr[j], n))
+        flat = np.stack(rows)
         audio_emb = np.asarray(self.model.get_audio_embedding(jnp.asarray(flat)))
         text_emb = np.asarray(self.model.get_text_embedding(descriptions))
         # candidate j of item i scored against item i's prompt

@@ -16,8 +16,7 @@ scan) keeps HBM bounded at large batch x seq.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
