@@ -33,4 +33,13 @@ from sam_audio_tpu.processor import (  # noqa: F401
     SAMAudioProcessor,
 )
 
+
+def __getattr__(name):
+    # lazy: the judge pulls in the full tower stack
+    if name == "SAMAudioJudgeModel":
+        from sam_audio_tpu.models.judge import SAMAudioJudgeModel
+
+        return SAMAudioJudgeModel
+    raise AttributeError(name)
+
 __version__ = "0.1.0"
