@@ -148,4 +148,4 @@ class ImageBind:
             [np.asarray(v) for v in videos]
         ))
         sims = np.einsum("bd,bd->b", audio_embs, video_embs)
-        return {"ImageBindSimilarity": sims.tolist()}
+        return {"ImageBind": sims.tolist()}
