@@ -70,19 +70,42 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+DEFAULT_FROZEN_PREFIXES = ("audio_codec", "text_encoder")
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return "/".join(parts)
+
+
 def make_train_step(cfg: SAMAudioConfig, optimizer: optax.GradientTransformation,
                     trainable_filter=None):
     """Returns train_step(state, batch, rng) -> (state, metrics). Pure —
     compose with jit/pjit at the call site.
 
-    trainable_filter(path_str) -> bool can freeze towers (the reference's
-    frozen codec/text encoders)."""
+    trainable_filter(path_str) -> bool freezes params where it returns False.
+    Default: the codec and text encoder stay frozen, matching the reference's
+    tower policy (reference model.py:346-359 — they load from their own
+    repos and are not trained with the DiT)."""
+    if trainable_filter is None:
+        def trainable_filter(path: str) -> bool:
+            return not path.startswith(DEFAULT_FROZEN_PREFIXES)
+
+    def mask_grads(grads):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, g: g if trainable_filter(_path_str(path))
+            else jnp.zeros_like(g),
+            grads,
+        )
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
             return flow_matching_loss(params, cfg, batch, rng)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = mask_grads(grads)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
@@ -103,14 +126,14 @@ class Trainer:
 
     def __init__(self, cfg: SAMAudioConfig, params, mesh=None,
                  learning_rate: float = 1e-4, weight_decay: float = 0.01,
-                 grad_clip: float = 1.0):
+                 grad_clip: float = 1.0, trainable_filter=None):
         self.cfg = cfg
         self.mesh = mesh
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(grad_clip),
             optax.adamw(learning_rate, weight_decay=weight_decay),
         )
-        step_fn = make_train_step(cfg, self.optimizer)
+        step_fn = make_train_step(cfg, self.optimizer, trainable_filter)
 
         if mesh is not None:
             from sam_audio_tpu.parallel.mesh import shard_batch, shard_params
