@@ -248,15 +248,17 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
                       compute_dtype=compute_dtype)
     h = jnp.swapaxes(h, 1, 2)
 
-    stem_rng = out_rng = layer_rngs = None
+    stem_rng = out_rng = layer_rngs = t_rng = y_rng = None
     if dropout_rng is not None:
-        stem_rng, out_rng, lkey = jax.random.split(dropout_rng, 3)
+        stem_rng, out_rng, t_rng, y_rng, lkey = jax.random.split(dropout_rng, 5)
         layer_rngs = jax.random.split(lkey, cfg.n_layers)
         h = N.dropout(h, cfg.dropout, stem_rng)  # reference transformer.py:488
 
     t = N.timestep_embedder(
         params["t_embedder"], time, cfg.frequency_embedding_dim,
         cfg.timestep_non_linearity, compute_dtype,
+        dropout_rate=cfg.dropout if t_rng is not None else 0.0,
+        dropout_rng=t_rng,
     )  # (B, dim)
     t0 = N.get_nonlinearity(cfg.t_block_non_linearity)(t)
     t0 = N.linear(params["t_block"], t0, compute_dtype)  # (B, 6*dim)
@@ -268,8 +270,13 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
             ym = N.rmsnorm(params["y_embedder"]["norm"], ym, cfg.norm_eps)
         if compute_dtype is not None:
             ym = ym.astype(compute_dtype)
-        y = N.projection(params["y_embedder"]["projection"], ym,
-                         cfg.context_non_linearity, compute_dtype)
+        y = N.projection(
+            params["y_embedder"]["projection"], ym,
+            cfg.context_non_linearity, compute_dtype,
+            dropout_rate=cfg.context_embedder_dropout
+            if y_rng is not None else 0.0,
+            dropout_rng=y_rng,
+        )
 
     rope_tables = None
     if cfg.use_rope:

@@ -234,11 +234,13 @@ def timestep_embedder_init(key, dim, frequency_embedding_dim, non_linearity="swi
 
 
 def timestep_embedder(params, t, frequency_embedding_dim, non_linearity="swiglu",
-                      compute_dtype=None):
+                      compute_dtype=None, dropout_rate: float = 0.0,
+                      dropout_rng=None):
     x = glide_timestep_embedding(t, frequency_embedding_dim)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    return projection(params["projection"], x, non_linearity, compute_dtype)
+    return projection(params["projection"], x, non_linearity, compute_dtype,
+                      dropout_rate=dropout_rate, dropout_rng=dropout_rng)
 
 
 # ---------------------------------------------------------------------------
