@@ -1,0 +1,118 @@
+"""Streaming separation for arbitrarily long audio.
+
+The reference is bounded to ~400 s by its RoPE table (max_positions=10000
+frames, SURVEY.md section 5) and by memory (full-sequence attention +
+activations). This module removes the bound: the mixture is processed in
+overlapping windows sharing the same prompt, and the per-window outputs are
+blended with an equal-power crossfade. Windows reuse ONE compiled program
+(fixed window length), so hour-long inputs stream through the chip at the
+10-s-clip throughput.
+
+Noise handling: each window gets noise from a per-window fold of one rng key,
+so results are deterministic given (params, audio, key).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from sam_audio_tpu.processor import Anchor, SAMAudioProcessor
+
+
+@dataclass
+class StreamingResult:
+    target: np.ndarray
+    residual: np.ndarray
+    num_windows: int
+
+
+def _crossfade_weights(length: int, fade: int) -> np.ndarray:
+    """Equal-power ramp: w[i]^2 + w[length-fade+i]^2 == 1 across the overlap."""
+    w = np.ones(length, np.float32)
+    if fade > 0:
+        ramp = np.sin(0.5 * np.pi * (np.arange(fade) + 0.5) / fade)
+        w[:fade] = ramp
+        w[-fade:] = ramp[::-1]
+    return w
+
+
+def separate_streaming(
+    model,
+    description: str,
+    audio: np.ndarray,
+    window_s: float = 10.0,
+    overlap_s: float = 1.0,
+    anchors: Optional[List[Anchor]] = None,
+    reranking_candidates: int = 1,
+    rng: Optional[jax.Array] = None,
+    processor: Optional[SAMAudioProcessor] = None,
+) -> StreamingResult:
+    """audio: (T,) or (channels, T) at model.sample_rate. Returns full-length
+    target/residual. Anchors are in absolute seconds and are clipped per
+    window."""
+    sr = model.sample_rate
+    hop = model.hop_length
+    processor = processor or SAMAudioProcessor(
+        audio_hop_length=hop, audio_sampling_rate=sr
+    )
+    wav = np.asarray(audio, np.float32)
+    if wav.ndim == 2:
+        wav = wav.mean(0)
+    total = wav.shape[-1]
+
+    win = int(window_s * sr) // hop * hop
+    fade = min(int(overlap_s * sr) // hop * hop, win // 2)
+    stride = win - fade
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    if total <= win:
+        batch = processor(descriptions=[description], audios=[wav[None]],
+                          anchors=[anchors] if anchors else None)
+        res = model.separate(batch, reranking_candidates=reranking_candidates,
+                             rng=rng)
+        return StreamingResult(res.target[0], res.residual[0], 1)
+
+    n_windows = 1 + math.ceil((total - win) / stride)
+    out_t = np.zeros(total, np.float32)
+    out_r = np.zeros(total, np.float32)
+    norm = np.zeros(total, np.float32)
+
+    for i in range(n_windows):
+        start = min(i * stride, total - win)
+        chunk = wav[start : start + win]
+        win_anchors = None
+        if anchors:
+            s0 = start / sr
+            s1 = (start + win) / sr
+            clipped = [
+                (tok, max(a, s0) - s0, min(b, s1) - s0)
+                for tok, a, b in anchors
+                if min(b, s1) > max(a, s0)
+            ]
+            win_anchors = [clipped] if clipped else None
+        batch = processor(descriptions=[description], audios=[chunk[None]],
+                          anchors=win_anchors)
+        res = model.separate(
+            batch, reranking_candidates=reranking_candidates,
+            rng=jax.random.fold_in(rng, i),
+        )
+        w = _crossfade_weights(win, fade)
+        # edges of the full signal keep full weight (no fade-in at t=0 etc.)
+        if i == 0:
+            w = w.copy()
+            w[:fade] = 1.0
+        if start + win >= total:
+            w = w.copy()
+            w[-fade:] = 1.0
+        out_t[start : start + win] += np.asarray(res.target[0])[:win] * w
+        out_r[start : start + win] += np.asarray(res.residual[0])[:win] * w
+        norm[start : start + win] += w
+
+    norm = np.maximum(norm, 1e-8)
+    return StreamingResult(out_t / norm, out_r / norm, n_windows)

@@ -1,0 +1,70 @@
+import jax
+import numpy as np
+
+from sam_audio_tpu.config import tiny_test_config
+from sam_audio_tpu.models.sam_audio import SAMAudio
+from sam_audio_tpu.streaming import _crossfade_weights, separate_streaming
+from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+CFG = tiny_test_config()
+
+
+def make_model():
+    return SAMAudio.init_random(
+        jax.random.PRNGKey(0), CFG,
+        tokenizer=ByteFallbackTokenizer(CFG.text_encoder.vocab_size),
+    )
+
+
+def test_crossfade_weights_equal_power():
+    w = _crossfade_weights(64, 16)
+    # overlap-add of tail of one window and head of the next sums to 1 (power)
+    combined = w[-16:] ** 2 + w[:16] ** 2
+    np.testing.assert_allclose(combined, 1.0, atol=1e-6)
+    assert (w[16:-16] == 1).all()
+
+
+def test_streaming_matches_direct_for_short_audio():
+    model = make_model()
+    wav = np.random.RandomState(0).randn(64).astype(np.float32) * 0.1
+    res = separate_streaming(model, "dog", wav, window_s=1.0, overlap_s=0.1,
+                             rng=jax.random.PRNGKey(5))
+    assert res.num_windows == 1
+    assert res.target.shape == (64,)
+
+
+def test_streaming_long_audio_shapes_and_continuity():
+    model = make_model()
+    sr = CFG.audio_codec.sample_rate  # 8000
+    t = np.arange(4 * sr) / sr
+    wav = (0.3 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+    res = separate_streaming(model, "tone", wav, window_s=1.0, overlap_s=0.25,
+                             rng=jax.random.PRNGKey(6))
+    assert res.num_windows > 2
+    assert res.target.shape == wav.shape
+    assert res.residual.shape == wav.shape
+    assert np.isfinite(res.target).all()
+    # no dead zones: overlap-add normalization covered every sample
+    assert np.abs(res.target).max() > 0
+
+
+def test_streaming_anchor_clipping():
+    model = make_model()
+    sr = CFG.audio_codec.sample_rate
+    wav = np.random.RandomState(1).randn(2 * sr).astype(np.float32) * 0.1
+    res = separate_streaming(
+        model, "x", wav, window_s=1.0, overlap_s=0.25,
+        anchors=[("+", 0.5, 1.5)], rng=jax.random.PRNGKey(7),
+    )
+    assert res.target.shape == wav.shape
+    assert np.isfinite(res.target).all()
+
+
+def test_streaming_deterministic():
+    model = make_model()
+    wav = np.random.RandomState(2).randn(12000).astype(np.float32) * 0.1
+    r1 = separate_streaming(model, "a", wav, window_s=1.0, overlap_s=0.2,
+                            rng=jax.random.PRNGKey(9))
+    r2 = separate_streaming(model, "a", wav, window_s=1.0, overlap_s=0.2,
+                            rng=jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(r1.target, r2.target)
