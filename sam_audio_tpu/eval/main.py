@@ -47,11 +47,32 @@ def _shard_indices(n: int, rank: int, world: int) -> List[int]:
     return list(range(rank, n, world))
 
 
-def iter_batches(dset, batch_size: int, rank: int, world: int):
+def iter_batches(dset, batch_size: int, rank: int, world: int,
+                 prefetch: int = 2):
+    """Yields collated batches with background host prefetch: the next
+    batch's decode/resample overlaps the current batch's TPU work (the
+    reference gets this from DataLoader workers, eval/main.py:78-85)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     idxs = _shard_indices(len(dset), rank, world)
-    for i in range(0, len(idxs), batch_size):
-        items = [dset[j] for j in idxs[i : i + batch_size]]
-        yield dset.collate(items)
+    chunks = [idxs[i : i + batch_size] for i in range(0, len(idxs), batch_size)]
+
+    def load(chunk):
+        return dset.collate([dset[j] for j in chunk])
+
+    if prefetch <= 0 or len(chunks) <= 1:
+        for chunk in chunks:
+            yield load(chunk)
+        return
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = [pool.submit(load, c) for c in chunks[:prefetch]]
+        next_submit = prefetch
+        for _ in range(len(chunks)):
+            batch = futures.pop(0).result()
+            if next_submit < len(chunks):
+                futures.append(pool.submit(load, chunks[next_submit]))
+                next_submit += 1
+            yield batch
 
 
 def run_eval(
