@@ -13,6 +13,10 @@ Without --model, a small randomly initialized model demonstrates the API.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import numpy as np

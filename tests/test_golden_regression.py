@@ -33,8 +33,7 @@ def _compute():
     rng = np.random.RandomState(123)
     audios = [rng.randn(1, 64).astype(np.float32) * 0.1,
               rng.randn(1, 40).astype(np.float32) * 0.1]
-    batch = proc(descriptions=["dog barking", "rain"], audios=audios,
-                 anchors=[[("+", 0.0, 0.004)], None and []] if False else None)
+    batch = proc(descriptions=["dog barking", "rain"], audios=audios)
     t_frames = batch.anchor_alignment.shape[-1]
     noise = rng.randn(2, t_frames, 2 * cfg.audio_codec.codebook_dim).astype(
         np.float32
