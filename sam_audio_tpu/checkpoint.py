@@ -268,14 +268,35 @@ def _residual_unit(sd, prefix):
     }
 
 
+def _seq_prefix(sd: Dict[str, np.ndarray], base: str) -> str:
+    """The Descript-DAC Sequential attribute is `block` for the encoder and
+    `model` for the decoder; tolerate either spelling in forks."""
+    for name in ("block", "model"):
+        probe = f"{base}.{name}.0."
+        if any(k.startswith(probe) for k in sd):
+            return f"{base}.{name}"
+    raise KeyError(f"No Sequential container found under {base}.(block|model)")
+
+
+def _proj_conv(sd, key):
+    """VAE in/out projection: Conv1d k=1 (3-D weight) or Linear (2-D); both
+    normalize to our (out, in, 1) conv layout."""
+    p = _linear(sd, key, bias=True)
+    w = np.asarray(p["weight"])
+    if w.ndim == 2:
+        p["weight"] = jnp.asarray(w[..., None])
+    return p
+
+
 def convert_dacvae(sd: Dict[str, np.ndarray], cfg, prefix="audio_codec",
                    with_decoder=True):
-    """cfg: DACVAEConfig. Encoder: block.0 conv_in, block.1..n EncoderBlocks,
-    block.n+1 Snake, block.n+2 conv_out. Decoder mirrors under `model.`."""
+    """cfg: DACVAEConfig. Encoder: <seq>.0 conv_in, <seq>.1..n EncoderBlocks,
+    <seq>.n+1 Snake, <seq>.n+2 conv_out; decoder mirrors."""
     n_enc = len(cfg.encoder_rates)
-    enc = {"conv_in": _conv(sd, f"{prefix}.encoder.block.0"), "blocks": []}
+    eb = _seq_prefix(sd, f"{prefix}.encoder")
+    enc = {"conv_in": _conv(sd, f"{eb}.0"), "blocks": []}
     for i in range(n_enc):
-        bp = f"{prefix}.encoder.block.{1 + i}.block"
+        bp = f"{eb}.{1 + i}.block"
         enc["blocks"].append(
             {
                 "res": [_residual_unit(sd, f"{bp}.{j}") for j in range(3)],
@@ -283,16 +304,17 @@ def convert_dacvae(sd: Dict[str, np.ndarray], cfg, prefix="audio_codec",
                 "conv": _conv(sd, f"{bp}.4"),
             }
         )
-    enc["snake_out"] = _snake(sd, f"{prefix}.encoder.block.{n_enc + 1}")
-    enc["conv_out"] = _conv(sd, f"{prefix}.encoder.block.{n_enc + 2}")
+    enc["snake_out"] = _snake(sd, f"{eb}.{n_enc + 1}")
+    enc["conv_out"] = _conv(sd, f"{eb}.{n_enc + 2}")
 
-    p = {"encoder": enc, "in_proj": _conv(sd, f"{prefix}.quantizer.in_proj")}
+    p = {"encoder": enc, "in_proj": _proj_conv(sd, f"{prefix}.quantizer.in_proj")}
 
     if with_decoder:
         n_dec = len(cfg.decoder_rates)
-        dec = {"conv_in": _conv(sd, f"{prefix}.decoder.model.0"), "blocks": []}
+        db = _seq_prefix(sd, f"{prefix}.decoder")
+        dec = {"conv_in": _conv(sd, f"{db}.0"), "blocks": []}
         for i in range(n_dec):
-            bp = f"{prefix}.decoder.model.{1 + i}.block"
+            bp = f"{db}.{1 + i}.block"
             dec["blocks"].append(
                 {
                     "snake": _snake(sd, f"{bp}.0"),
@@ -300,9 +322,9 @@ def convert_dacvae(sd: Dict[str, np.ndarray], cfg, prefix="audio_codec",
                     "res": [_residual_unit(sd, f"{bp}.{2 + j}") for j in range(3)],
                 }
             )
-        dec["snake_out"] = _snake(sd, f"{prefix}.decoder.model.{n_dec + 1}")
-        dec["conv_out"] = _conv(sd, f"{prefix}.decoder.model.{n_dec + 2}")
-        p["out_proj"] = _conv(sd, f"{prefix}.quantizer.out_proj")
+        dec["snake_out"] = _snake(sd, f"{db}.{n_dec + 1}")
+        dec["conv_out"] = _conv(sd, f"{db}.{n_dec + 2}")
+        p["out_proj"] = _proj_conv(sd, f"{prefix}.quantizer.out_proj")
         p["decoder"] = dec
     return p
 
