@@ -334,6 +334,19 @@ class SAMAudio:
             feature_idx, self.hop_length, self.sample_rate
         )
 
+    def shard(self, mesh=None, tp: int = 1):
+        """Place params on a device mesh for multi-chip serving: tensor-
+        parallel rules for the DiT/T5 (see parallel/mesh.py), replication for
+        the rest; batches shard over `dp` at the jit boundary automatically
+        once params carry shardings. Returns self."""
+        from sam_audio_tpu.parallel.mesh import make_mesh, shard_params
+
+        if mesh is None:
+            mesh = make_mesh(tp=tp)
+        self.params = shard_params(self.params, mesh)
+        self.mesh = mesh
+        return self
+
     def unbatch(self, wavs, sizes, time_dim: int = -1):
         """Trim padded rows to their true lengths (reference model.py:340-344).
         wavs: array-like (B, ..., T); sizes: per-item sample counts."""
