@@ -33,7 +33,7 @@ except Exception:
 
 
 def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
-         iters: int = 3):
+         iters: int = 3, preview_nfe: int = 0):
     from sam_audio_tpu.config import SAMAudioConfig
     from sam_audio_tpu.models.sam_audio import (
         decode_channel,
@@ -106,6 +106,30 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return residual
 
     def run():
+        if preview_nfe:
+            # preview-NFE reranking: cheap candidate solves, full solve for
+            # the winner (separate(preview_nfe=...) opt-in mode)
+            preview = separate_latents(
+                params, audios, text_ids, text_mask, anchor_ids,
+                anchor_alignment, audio_pad_mask, noise, None,
+                cfg=cfg, candidates=candidates, use_video=False,
+                ode_step_size=2.0 / preview_nfe,
+            )
+            targets_prev = decode_channel(params, preview, cfg=cfg, channel=0)
+            energy = jnp.sum(jnp.square(targets_prev), axis=-1).reshape(
+                batch, candidates)
+            idxs = jnp.argmax(energy, axis=-1).astype(jnp.int32)
+            chosen_noise = gather_candidates(noise, idxs, cfg=cfg,
+                                             candidates=candidates)
+            chosen = separate_latents(
+                params, audios, text_ids, text_mask, anchor_ids,
+                anchor_alignment, audio_pad_mask, chosen_noise, None,
+                cfg=cfg, candidates=1, use_video=False,
+            )
+            targets = decode_channel(params, chosen, cfg=cfg, channel=0)
+            residual = decode_channel(params, chosen, cfg=cfg, channel=1)
+            float(checksum(residual))
+            return targets, residual
         latents = separate_latents(
             params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
             audio_pad_mask, noise, None,
@@ -153,5 +177,8 @@ if __name__ == "__main__":
     ap.add_argument("-s", "--seconds", type=float, default=10.0)
     ap.add_argument("-b", "--batch", type=int, default=1)
     ap.add_argument("-n", "--iters", type=int, default=5)
+    ap.add_argument("--preview-nfe", type=int, default=0,
+                    help="opt-in fast-rerank mode (see separate(preview_nfe=))")
     args = ap.parse_args()
-    main(args.candidates, args.seconds, args.batch, args.iters)
+    main(args.candidates, args.seconds, args.batch, args.iters,
+         args.preview_nfe)

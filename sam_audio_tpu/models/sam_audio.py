@@ -365,10 +365,17 @@ class SAMAudio:
         reranking_candidates: int = 1,
         predict_spans: bool = False,
         rng: Optional[jax.Array] = None,
+        preview_nfe: Optional[int] = None,
     ) -> SeparationResult:
         """Separate `batch` (a processor.Batch). Mirrors reference
         model.py:247-338 including the `noise=` injection point used for
-        deterministic regression tests."""
+        deterministic regression tests.
+
+        `preview_nfe` (opt-in, NOT reference semantics): with k>1 and a
+        ranker, candidates are generated and ranked at a cheap NFE budget
+        (e.g. 8 => 4 midpoint steps), then ONLY the winning noise is re-solved
+        at the full budget — ~2.7x faster at k=8 for a small selection-quality
+        tradeoff. The returned audio is always a full-budget solve."""
         ode_opt = ode_opt or DFLT_ODE_OPT
         k = int(reranking_candidates)
         cfg = self.cfg
@@ -403,28 +410,59 @@ class SAMAudio:
         step = ode_opt.get("step_size",
                            ode_opt.get("options", {}).get("step_size", 2 / 32))
 
-        latents = separate_latents(
-            self.params,
+        sizes = [self.feature_idx_to_wav_idx(int(s)) for s in np.asarray(batch.sizes)]
+        has_ranker = (
+            (batch.masked_video is not None and self.visual_ranker is not None)
+            or self.text_ranker is not None
+        )
+
+        core_args = (
             audios,
             text_ids,
             text_mask,
             jnp.asarray(batch.anchor_ids),
             jnp.asarray(batch.anchor_alignment),
             jnp.asarray(batch.audio_pad_mask),
-            noise,
-            video_features,
+        )
+
+        if preview_nfe is not None and k > 1 and has_ranker:
+            # rank on cheap previews, full solve only for the winners
+            preview = separate_latents(
+                self.params, *core_args, noise, video_features,
+                cfg=cfg, candidates=k, ode_method=method,
+                ode_step_size=2.0 / preview_nfe, use_video=use_video,
+            )
+            tgt_prev = np.asarray(decode_channel_chunked(
+                self.params, preview, cfg=cfg, channel=0))
+            target_cands = [tgt_prev[i * k:(i + 1) * k, :sizes[i]]
+                            for i in range(b)]
+            idxs = self._rerank(batch, target_cands, sizes, k)
+            chosen_noise = gather_candidates(
+                noise, jnp.asarray(idxs, jnp.int32), cfg=cfg, candidates=k
+            )
+            chosen = separate_latents(
+                self.params, *core_args, chosen_noise, video_features,
+                cfg=cfg, candidates=1, ode_method=method,
+                ode_step_size=float(step), use_video=use_video,
+            )
+            tgt_sel = np.asarray(decode_channel(self.params, chosen, cfg=cfg,
+                                                channel=0))
+            res_sel = np.asarray(decode_channel(self.params, chosen, cfg=cfg,
+                                                channel=1))
+            return SeparationResult(
+                target=[tgt_sel[i, :sizes[i]] for i in range(b)],
+                residual=[res_sel[i, :sizes[i]] for i in range(b)],
+                noise=noise,
+            )
+
+        latents = separate_latents(
+            self.params, *core_args, noise, video_features,
             cfg=cfg,
             candidates=k,
             ode_method=method,
             ode_step_size=float(step),
             use_video=use_video,
         )  # (B*k, T, 2C)
-
-        sizes = [self.feature_idx_to_wav_idx(int(s)) for s in np.asarray(batch.sizes)]
-        has_ranker = (
-            (batch.masked_video is not None and self.visual_ranker is not None)
-            or self.text_ranker is not None
-        )
 
         if k > 1 and has_ranker:
             # decode all k targets for ranking; the residual is decoded only
