@@ -334,9 +334,10 @@ def convert_dacvae(sd: Dict[str, np.ndarray], cfg, prefix="audio_codec",
 # ---------------------------------------------------------------------------
 
 
-def convert_sam_audio_state_dict(sd: Dict[str, np.ndarray], cfg: SAMAudioConfig):
+def convert_conditioning(sd: Dict[str, np.ndarray], cfg: SAMAudioConfig):
+    """Convert everything in the SAMAudio state_dict except the codec: the DiT
+    and the conditioning heads (reference model.py:84-93)."""
     params = {
-        "audio_codec": convert_dacvae(sd, cfg.audio_codec, "audio_codec"),
         "transformer": convert_dit(sd, cfg.transformer, "transformer"),
         "proj": _linear(sd, "proj"),
         "align_masked_video": {
@@ -355,6 +356,12 @@ def convert_sam_audio_state_dict(sd: Dict[str, np.ndarray], cfg: SAMAudioConfig)
         },
         "memory_proj": _linear(sd, "memory_proj"),
     }
+    return params
+
+
+def convert_sam_audio_state_dict(sd: Dict[str, np.ndarray], cfg: SAMAudioConfig):
+    params = {"audio_codec": convert_dacvae(sd, cfg.audio_codec, "audio_codec")}
+    params.update(convert_conditioning(sd, cfg))
     return params
 
 
