@@ -25,6 +25,7 @@ import os
 import re
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -408,19 +409,243 @@ def convert_t5_state_dict(sd: Dict[str, np.ndarray], cfg: T5EncoderConfig):
     }
 
 
-def convert_judge_state_dict(sd: Dict[str, np.ndarray], cfg):
+# ---------------------------------------------------------------------------
+# PE-AV tower conversion (layout-sniffing)
+# ---------------------------------------------------------------------------
+
+_PEAV_LAYER_RE = re.compile(
+    r"^((?:encoder\.)?(?:transformer\.)?(?:layers|layer|blocks|resblocks|h))\.(\d+)\."
+)
+
+# (q, k, v, out) projection name templates relative to a layer root.
+_PEAV_ATTN_SCHEMES = [
+    ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj", "self_attn.out_proj"),
+    ("attn.q_proj", "attn.k_proj", "attn.v_proj", "attn.out_proj"),
+    ("attention.q_proj", "attention.k_proj", "attention.v_proj", "attention.out_proj"),
+    ("attention.wq", "attention.wk", "attention.wv", "attention.wo"),
+    ("attn.wq", "attn.wk", "attn.wv", "attn.wo"),
+    ("attention.self.query", "attention.self.key", "attention.self.value",
+     "attention.output.dense"),
+]
+# fused qkv variants: (qkv, out)
+_PEAV_FUSED_SCHEMES = [
+    ("attn.qkv", "attn.proj"),
+    ("attn.Wqkv", "attn.Wo"),
+    ("self_attn.qkv_proj", "self_attn.out_proj"),
+]
+# (ln1, ln2, prenorm)
+_PEAV_NORM_SCHEMES = [
+    ("ln_1", "ln_2", True),
+    ("norm1", "norm2", True),
+    ("layer_norm1", "layer_norm2", True),
+    ("self_attn_layer_norm", "final_layer_norm", True),
+    ("attention_norm", "ffn_norm", True),
+    ("input_layernorm", "post_attention_layernorm", True),
+    ("attention.output.LayerNorm", "output.LayerNorm", False),
+]
+# MLP: 2-tuple = fc1/fc2 (+act from cfg), 3-tuple = swiglu gate/down/up
+_PEAV_MLP_SCHEMES = [
+    ("mlp.fc1", "mlp.fc2"),
+    ("fc1", "fc2"),
+    ("mlp.c_fc", "mlp.c_proj"),
+    ("mlp.lin1", "mlp.lin2"),
+    ("intermediate.dense", "output.dense"),
+    ("feed_forward.w1", "feed_forward.w2", "feed_forward.w3"),
+    ("mlp.w1", "mlp.w2", "mlp.w3"),
+    ("mlp.gate_proj", "mlp.down_proj", "mlp.up_proj"),
+    ("feed_forward.gate_proj", "feed_forward.down_proj", "feed_forward.up_proj"),
+]
+_PEAV_POS_KEYS = ["pos_embed", "positional_embedding", "pos_emb",
+                  "embed_positions.weight", "pos_embedding"]
+_PEAV_PRE_NORM_KEYS = ["ln_pre", "layernorm_embedding", "norm_pre", "emb_ln"]
+_PEAV_FINAL_NORM_KEYS = ["final_layer_norm", "final_norm", "norm", "ln_post",
+                         "ln_final", "layer_norm", "encoder.final_layer_norm",
+                         "encoder.norm", "encoder.layer_norm"]
+# recomputed buffers: consume silently, never report as unconverted
+_PEAV_IGNORE_RE = re.compile(
+    r"(rotary.*\.inv_freq|freqs_cis|position_ids|attn\.bias|attn\.masked_bias|"
+    r"num_batches_tracked)$"
+)
+
+
+def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg):
+    """Map a perception-models PE-AV `Transformer` state_dict (reference
+    judge.py:46-47) onto our canonical PE-AV pytree, sniffing the block naming
+    style (fairseq/HF q_proj, timm fused qkv, CLIP resblocks/in_proj,
+    llama wq/swiglu, BERT post-LN) from the keys.
+
+    Returns (params, arch, unconverted): `arch` holds the sniffed switches for
+    PEAVTransformerConfig {prenorm, act, pos}; `unconverted` lists keys under
+    `prefix` that did not map (empty == fully weight-compatible).
+    """
+    sub = {k[len(prefix):]: np.asarray(v) for k, v in sd.items()
+           if k.startswith(prefix)}
+    consumed = set()
+
+    def have(k):
+        return k in sub
+
+    def take(k):
+        consumed.add(k)
+        return jnp.asarray(sub[k])
+
+    def take_linear(base):
+        p = {"weight": take(f"{base}.weight")}
+        if have(f"{base}.bias"):
+            p["bias"] = take(f"{base}.bias")
+        return p
+
+    def take_norm(base):
+        p = {"weight": take(f"{base}.weight")}
+        if have(f"{base}.bias"):
+            p["bias"] = take(f"{base}.bias")
+        return p
+
+    container, n_layers = None, 0
+    for k in sub:
+        m = _PEAV_LAYER_RE.match(k)
+        if m:
+            container = m.group(1)
+            n_layers = max(n_layers, int(m.group(2)) + 1)
+    if container is None:
+        raise ValueError(f"no transformer layer keys under {prefix!r}")
+
+    arch = {"prenorm": True, "act": getattr(cfg, "act", "gelu_tanh"),
+            "pos": getattr(cfg, "pos", "sinusoidal")}
+    layers = []
+    for i in range(n_layers):
+        L = f"{container}.{i}"
+        lp = {}
+
+        attn = None
+        for qn, kn, vn, on in _PEAV_ATTN_SCHEMES:
+            if have(f"{L}.{qn}.weight"):
+                attn = {"wq": take_linear(f"{L}.{qn}"),
+                        "wk": take_linear(f"{L}.{kn}"),
+                        "wv": take_linear(f"{L}.{vn}"),
+                        "wo": take_linear(f"{L}.{on}")}
+                break
+        if attn is None:
+            for qkvn, on in _PEAV_FUSED_SCHEMES:
+                if have(f"{L}.{qkvn}.weight"):
+                    w = np.asarray(take(f"{L}.{qkvn}.weight"))
+                    wq, wk, wv = np.split(w, 3, axis=0)
+                    attn = {"wq": {"weight": jnp.asarray(wq)},
+                            "wk": {"weight": jnp.asarray(wk)},
+                            "wv": {"weight": jnp.asarray(wv)},
+                            "wo": take_linear(f"{L}.{on}")}
+                    if have(f"{L}.{qkvn}.bias"):
+                        b = np.asarray(take(f"{L}.{qkvn}.bias"))
+                        bq, bk, bv = np.split(b, 3, axis=0)
+                        attn["wq"]["bias"] = jnp.asarray(bq)
+                        attn["wk"]["bias"] = jnp.asarray(bk)
+                        attn["wv"]["bias"] = jnp.asarray(bv)
+                    break
+        if attn is None and have(f"{L}.attn.in_proj_weight"):
+            # torch nn.MultiheadAttention (CLIP style)
+            w = np.asarray(take(f"{L}.attn.in_proj_weight"))
+            wq, wk, wv = np.split(w, 3, axis=0)
+            attn = {"wq": {"weight": jnp.asarray(wq)},
+                    "wk": {"weight": jnp.asarray(wk)},
+                    "wv": {"weight": jnp.asarray(wv)},
+                    "wo": take_linear(f"{L}.attn.out_proj")}
+            if have(f"{L}.attn.in_proj_bias"):
+                b = np.asarray(take(f"{L}.attn.in_proj_bias"))
+                bq, bk, bv = np.split(b, 3, axis=0)
+                attn["wq"]["bias"] = jnp.asarray(bq)
+                attn["wk"]["bias"] = jnp.asarray(bk)
+                attn["wv"]["bias"] = jnp.asarray(bv)
+        if attn is None:
+            raise ValueError(f"unrecognized attention layout in {prefix}{L}")
+        for norm_name, slot in (("q_norm", "q_norm"), ("k_norm", "k_norm"),
+                                ("q_ln", "q_norm"), ("k_ln", "k_norm")):
+            for root in ("attn", "self_attn", "attention"):
+                if have(f"{L}.{root}.{norm_name}.weight"):
+                    attn[slot] = take_norm(f"{L}.{root}.{norm_name}")
+        lp["attn"] = attn
+
+        norms = None
+        for n1, n2, prenorm in _PEAV_NORM_SCHEMES:
+            if have(f"{L}.{n1}.weight"):
+                norms = (take_norm(f"{L}.{n1}"), take_norm(f"{L}.{n2}"))
+                arch["prenorm"] = prenorm
+                break
+        if norms is None:
+            raise ValueError(f"unrecognized layer norms in {prefix}{L}")
+        lp["ln1"], lp["ln2"] = norms
+        # affine bias present => LayerNorm; bare scale => RMSNorm
+        arch["norm"] = "layernorm" if "bias" in norms[0] else "rmsnorm"
+
+        mlp = None
+        for scheme in _PEAV_MLP_SCHEMES:
+            if have(f"{L}.{scheme[0]}.weight"):
+                if len(scheme) == 2:
+                    mlp = {"fc1": take_linear(f"{L}.{scheme[0]}"),
+                           "fc2": take_linear(f"{L}.{scheme[1]}")}
+                else:
+                    mlp = {"w1": take_linear(f"{L}.{scheme[0]}"),
+                           "w2": take_linear(f"{L}.{scheme[1]}"),
+                           "w3": take_linear(f"{L}.{scheme[2]}")}
+                    arch["act"] = "swiglu"
+                break
+        if mlp is None:
+            raise ValueError(f"unrecognized MLP layout in {prefix}{L}")
+        lp["mlp"] = mlp
+
+        for ls_name, slot in (("ls1.gamma", "ls1"), ("ls2.gamma", "ls2"),
+                              ("gamma_1", "ls1"), ("gamma_2", "ls2")):
+            if have(f"{L}.{ls_name}"):
+                lp[slot] = take(f"{L}.{ls_name}")
+        layers.append(lp)
+
+    params = {
+        "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    }
+    for key in _PEAV_POS_KEYS:
+        if have(key):  # raw nn.Parameter table
+            params["pos_embed"] = take(key)
+            arch["pos"] = "learned"
+            break
+        if have(f"{key}.weight"):  # nn.Embedding table
+            params["pos_embed"] = take(f"{key}.weight")
+            arch["pos"] = "learned"
+            break
+    for key in _PEAV_PRE_NORM_KEYS:
+        if have(f"{key}.weight"):
+            params["ln_pre"] = take_norm(key)
+            break
+    for key in _PEAV_FINAL_NORM_KEYS:
+        if have(f"{key}.weight"):
+            params["final_norm"] = take_norm(key)
+            break
+
+    for k in list(sub):
+        if k not in consumed and _PEAV_IGNORE_RE.search(k):
+            consumed.add(k)
+    unconverted = sorted(prefix + k for k in sub if k not in consumed)
+    return params, arch, unconverted
+
+
+def convert_judge_state_dict(sd: Dict[str, np.ndarray], cfg,
+                             return_arch: bool = False):
     """Reference SAMAudioJudgeModel state_dict -> our judge params
     (cfg: SAMAudioJudgeConfig; reference judge.py:39-72).
 
-    Converts the codec encoder, ModernBERT text tower, and all fusion
-    projections. The two PE-AV transformer towers use the external
-    perception-models architecture whose exact key layout ships with the
-    checkpoint; their keys are returned in `unconverted` for a follow-up map
-    (our towers run randomly initialized until then).
+    Converts the codec encoder, ModernBERT text tower, both PE-AV transformer
+    towers (layout-sniffed via convert_peav_tower), and all fusion
+    projections. Returns (params, unconverted); with return_arch=True also
+    returns {tower: arch} so the caller can set the PEAVTransformerConfig
+    switches (prenorm/act/pos) to match the checkpoint.
     """
     from sam_audio_tpu.models.modernbert import convert_modernbert_state_dict
 
+    tower, tower_arch, tower_left = convert_peav_tower(sd, "transformer.",
+                                                       cfg.transformer)
+    ft, ft_arch, ft_left = convert_peav_tower(sd, "finetune_transformer.",
+                                              cfg.finetune_transformer)
     params = {
+        "transformer": tower,
+        "finetune_transformer": ft,
         "audio_codec": convert_dacvae(sd, cfg.audio_codec, "audio_codec",
                                       with_decoder=False),
         "data_proj": _linear(sd, "data_proj"),
@@ -436,10 +661,10 @@ def convert_judge_state_dict(sd: Dict[str, np.ndarray], cfg):
         "mean": jnp.asarray(sd["mean"]),
         "std": jnp.asarray(sd["std"]),
     }
-    unconverted = sorted(
-        k for k in sd
-        if k.startswith(("transformer.", "finetune_transformer."))
-    )
+    unconverted = sorted(tower_left + ft_left)
+    if return_arch:
+        return params, unconverted, {"transformer": tower_arch,
+                                     "finetune_transformer": ft_arch}
     return params, unconverted
 
 

@@ -261,6 +261,16 @@ class PEAVTransformerConfig:
     mlp_ratio: float = 4.0
     layer_norm_eps: float = 1e-5
     max_positions: int = 16384
+    # Architecture switches honored by models/peav.peav_apply so a converted
+    # perception-models checkpoint can execute faithfully whatever its block
+    # style: pre-LN vs post-LN residuals, MLP activation ("gelu", "gelu_tanh",
+    # "quick_gelu", "relu", "silu"; "swiglu" is inferred from the weights),
+    # and positional encoding ("sinusoidal", "learned", "none"; "learned" is
+    # inferred when the checkpoint carries a position table).
+    prenorm: bool = True
+    act: str = "gelu_tanh"
+    pos: str = "sinusoidal"
+    norm: str = "layernorm"  # or "rmsnorm" (sniffed: affine bias => layernorm)
 
 
 @dataclass(frozen=True)
@@ -303,11 +313,15 @@ class SAMAudioJudgeConfig:
         d = {k: v for k, v in d.items() if k in known}
         if isinstance(d.get("audio_codec"), dict):
             d["audio_codec"] = DACVAEConfig(**_freeze(d["audio_codec"]))
+        # common aliases the perception-models TransformerConfig may use
+        peav_aliases = {"num_hidden_layers": "num_layers", "n_layers": "num_layers",
+                        "num_attention_heads": "num_heads", "n_heads": "num_heads"}
         for key in ("transformer", "finetune_transformer"):
             if isinstance(d.get(key), dict):
+                raw = {peav_aliases.get(k, k): v for k, v in d[key].items()}
                 sub = {
                     k: v
-                    for k, v in d[key].items()
+                    for k, v in raw.items()
                     if k in {f.name for f in dataclasses.fields(PEAVTransformerConfig)}
                 }
                 d[key] = PEAVTransformerConfig(**sub)

@@ -4,11 +4,14 @@ The judge runs both audios through a shared Perception-Encoder-AV
 `Transformer` and a second "finetune" one (reference: sam_audio/model/judge.py:7-8,
 46-47, 101-126; config `core.audio_visual_encoder.config.TransformerConfig`).
 
-Implemented as a standard pre-LN transformer encoder over frame features:
-sinusoidal positions, MHA with key-padding mask, GELU MLP, final LayerNorm;
-returns an object with `.last_hidden_state` + `.pooler_output` (masked mean),
-mirroring BaseModelOutputWithPooling semantics. Layers share one structure, so
-the stack is a single lax.scan over stacked params.
+The encoder executes one canonical parameter layout (per-layer: ln1, attn
+{wq,wk,wv,wo}, ln2, mlp {fc1,fc2} or swiglu {w1,w2,w3}; optional qk norms and
+layer-scale; top-level optional pos_embed / ln_pre / final_norm) with
+architecture switches on the config (prenorm, act, pos) so that
+checkpoint.convert_peav_tower can map any of the common perception-models /
+timm / CLIP / fairseq block styles onto it and run the real weights
+faithfully. Layers share one structure, so the stack is a single lax.scan
+over stacked params.
 """
 
 from __future__ import annotations
@@ -28,6 +31,20 @@ from sam_audio_tpu.ops.attention import attend
 class BaseModelOutputWithPooling:
     last_hidden_state: jnp.ndarray
     pooler_output: Optional[jnp.ndarray] = None
+
+
+def _act_fn(name: str):
+    if name == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
+    if name == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "relu":
+        return jax.nn.relu
+    if name == "silu":
+        return jax.nn.silu
+    raise ValueError(f"unknown PE-AV activation {name!r}")
 
 
 def _layer_init(key, cfg: PEAVTransformerConfig, dtype=jnp.float32):
@@ -59,34 +76,86 @@ def peav_init(key, cfg: PEAVTransformerConfig, dtype=jnp.float32):
     }
 
 
+def _per_head_norm(norm_params, x, eps):
+    """RMS/LayerNorm over the head dim; x: (B, T, H, D)."""
+    w = norm_params["weight"].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    if "bias" in norm_params:
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        out = (xf - mu) / jnp.sqrt(var + eps) * w + norm_params["bias"].astype(
+            jnp.float32
+        )
+    else:
+        out = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True) + eps) * w
+    return out.astype(x.dtype)
+
+
 def peav_apply(params, x, cfg: PEAVTransformerConfig, padding_mask=None,
                compute_dtype=None) -> BaseModelOutputWithPooling:
     """x: (B, T, hidden); padding_mask: (B, T) bool True=valid."""
     b, t, h = x.shape
     nh = cfg.num_heads
     hd = h // nh
-    pos = N.sinusoidal_embedding(jnp.arange(t).astype(jnp.float32), h)
-    x = x + pos[None].astype(x.dtype)
+    eps = cfg.layer_norm_eps
+    act = None if cfg.act == "swiglu" else _act_fn(cfg.act)
+    if cfg.norm == "layernorm":
+        norm = lambda p, y: N.layernorm(p, y, eps)  # noqa: E731
+    else:
+        norm = lambda p, y: N.rmsnorm(p, y, eps)  # noqa: E731
+
+    if "pos_embed" in params:
+        x = x + params["pos_embed"][:t][None].astype(x.dtype)
+    elif cfg.pos == "sinusoidal":
+        pos = N.sinusoidal_embedding(jnp.arange(t).astype(jnp.float32), h)
+        x = x + pos[None].astype(x.dtype)
+    if "ln_pre" in params:
+        x = norm(params["ln_pre"], x)
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
 
-    def body(carry, layer):
-        hcur = carry
-        y = N.layernorm(layer["ln1"], hcur, cfg.layer_norm_eps)
-        q = N.linear(layer["attn"]["wq"], y, compute_dtype).reshape(b, t, nh, hd)
-        k = N.linear(layer["attn"]["wk"], y, compute_dtype).reshape(b, t, nh, hd)
-        v = N.linear(layer["attn"]["wv"], y, compute_dtype).reshape(b, t, nh, hd)
+    def attn_block(layer, y):
+        a = layer["attn"]
+        q = N.linear(a["wq"], y, compute_dtype).reshape(b, t, nh, hd)
+        k = N.linear(a["wk"], y, compute_dtype).reshape(b, t, nh, hd)
+        v = N.linear(a["wv"], y, compute_dtype).reshape(b, t, nh, hd)
+        if "q_norm" in a:
+            q = _per_head_norm(a["q_norm"], q, eps)
+        if "k_norm" in a:
+            k = _per_head_norm(a["k_norm"], k, eps)
         o = attend(q, k, v, key_padding_mask=padding_mask)
-        hcur = hcur + N.linear(layer["attn"]["wo"], o.reshape(b, t, h),
-                               compute_dtype)
-        y = N.layernorm(layer["ln2"], hcur, cfg.layer_norm_eps)
-        y = jax.nn.gelu(N.linear(layer["mlp"]["fc1"], y, compute_dtype),
-                        approximate=True)
-        hcur = hcur + N.linear(layer["mlp"]["fc2"], y, compute_dtype)
+        return N.linear(a["wo"], o.reshape(b, t, h), compute_dtype)
+
+    def mlp_block(layer, y):
+        m = layer["mlp"]
+        if "w3" in m:  # swiglu (llama convention: w1=gate, w3=up, w2=down)
+            return N.linear(
+                m["w2"],
+                jax.nn.silu(N.linear(m["w1"], y, compute_dtype))
+                * N.linear(m["w3"], y, compute_dtype),
+                compute_dtype,
+            )
+        return N.linear(m["fc2"], act(N.linear(m["fc1"], y, compute_dtype)),
+                        compute_dtype)
+
+    def body(hcur, layer):
+        if cfg.prenorm:
+            a = attn_block(layer, norm(layer["ln1"], hcur))
+            if "ls1" in layer:
+                a = a * layer["ls1"].astype(a.dtype)
+            hcur = hcur + a
+            mo = mlp_block(layer, norm(layer["ln2"], hcur))
+            if "ls2" in layer:
+                mo = mo * layer["ls2"].astype(mo.dtype)
+            hcur = hcur + mo
+        else:  # post-LN (BERT-style)
+            hcur = norm(layer["ln1"], hcur + attn_block(layer, hcur))
+            hcur = norm(layer["ln2"], hcur + mlp_block(layer, hcur))
         return hcur, None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
-    x = N.layernorm(params["final_norm"], x, cfg.layer_norm_eps)
+    if "final_norm" in params:
+        x = norm(params["final_norm"], x)
     x = x.astype(jnp.float32)
 
     if padding_mask is not None:

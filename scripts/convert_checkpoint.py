@@ -30,7 +30,14 @@ def main():
                          "tries the locally-cached HF model")
     ap.add_argument("--verify", action="store_true",
                     help="run a jitted forward pass after conversion")
+    ap.add_argument("--judge", action="store_true",
+                    help="the snapshot is a SAMAudioJudge checkpoint "
+                         "(HF revision 'sam_audio'); sniffs the PE-AV tower "
+                         "architecture and records it in config.json")
     args = ap.parse_args()
+
+    if args.judge:
+        return convert_judge(args)
 
     from sam_audio_tpu.checkpoint import (
         _load_torch_state_dict,
@@ -93,6 +100,62 @@ def main():
         res = model.separate(batch)
         assert np.isfinite(res.target[0]).all()
         print("verify: separate() produced finite output", res.target[0].shape)
+
+
+def convert_judge(args):
+    from sam_audio_tpu.checkpoint import (
+        _load_torch_state_dict,
+        convert_judge_state_dict,
+        save_params,
+    )
+    from sam_audio_tpu.config import SAMAudioJudgeConfig
+
+    snapshot = args.snapshot
+    if not os.path.isdir(snapshot):
+        from huggingface_hub import snapshot_download
+
+        snapshot = snapshot_download(repo_id=snapshot, revision="sam_audio")
+
+    with open(os.path.join(snapshot, "config.json")) as fin:
+        cfg_dict = json.load(fin)
+    cfg = SAMAudioJudgeConfig.from_dict(cfg_dict)
+
+    print("loading judge torch checkpoint...")
+    sd = _load_torch_state_dict(os.path.join(snapshot, "checkpoint.pt"))
+    print(f"  {len(sd)} tensors")
+    params, unconverted, archs = convert_judge_state_dict(sd, cfg,
+                                                          return_arch=True)
+    if unconverted:
+        print(f"  WARNING: {len(unconverted)} unconverted keys:")
+        for k in unconverted[:20]:
+            print(f"    {k}")
+        raise SystemExit(1)
+    for tower, arch in archs.items():
+        print(f"  {tower}: sniffed arch {arch}")
+        cfg_dict.setdefault(tower, {}).update(arch)
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "config.json"), "w") as fout:
+        json.dump(cfg_dict, fout, indent=2)
+    save_params(os.path.join(args.out, "params.npz"), params)
+    print(f"wrote {args.out}/params.npz")
+
+    if args.verify:
+        import jax
+        import numpy as np
+
+        from sam_audio_tpu.models.judge import SAMAudioJudgeModel
+
+        model = SAMAudioJudgeModel.from_pretrained(args.out)
+        b, tw = 1, model.cfg.audio_codec.hop_length * 8
+        out = model(
+            input_ids=np.zeros((b, 4), np.int32),
+            input_values=np.zeros((b, 1, tw), np.float32),
+            separated_values=np.zeros((b, 1, tw), np.float32),
+        )
+        assert np.isfinite(np.asarray(out.overall)).all()
+        print("verify: judge forward produced finite scores", out.overall)
+        del jax
 
 
 if __name__ == "__main__":
