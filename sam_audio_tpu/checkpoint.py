@@ -673,10 +673,15 @@ def convert_judge_state_dict(sd: Dict[str, np.ndarray], cfg,
 # ---------------------------------------------------------------------------
 
 
-def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+def _load_torch_state_dict(path: str, key: Optional[str] = None
+                           ) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint as numpy. `key` unwraps containers like
+    laion_clap's {'state_dict': ...} (reference ranking/clap.py:20-22)."""
     import torch
 
     sd = torch.load(path, weights_only=True, map_location="cpu")
+    if key is not None and key in sd:
+        sd = sd[key]
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in sd.items()}
 

@@ -1,34 +1,48 @@
-"""CLAP (contrastive language-audio pretraining) towers in JAX.
+"""CLAP (contrastive language-audio pretraining) in JAX — exact laion_clap
+architecture.
 
 Capability parity with the reference's LAION-CLAP ranker (reference:
-sam_audio/ranking/clap.py:11-86): the audio branch reproduces laion_clap's
-feature pipeline — resample to 48 kHz, int16 quantization roundtrip, 10 s
-repeat-pad / center-truncate, 64-bin mel (n_fft 1024, hop 480, 50-14000 Hz) —
-followed by a patch-transformer audio tower (HTSAT role); the text branch is
-a RoBERTa-role bidirectional transformer with CLS pooling. Both project to a
-shared embedding space; the ranker scores cosine(audio_i_k, text_i).
+sam_audio/ranking/clap.py:11-86, ckpt `lukewys/laion_clap/630k-best.pt`):
 
-The towers are structural equivalents designed TPU-first (single scan'd
-transformer stack per tower); converting original LAION-CLAP weights requires
-an HTSAT-specific key map, planned once checkpoints are available on-host.
+  audio: laion_clap feature pipeline — resample to 48 kHz, int16 quantization
+  roundtrip, 10 s repeat-pad / truncate (center or seeded rand_trunc) — then
+  the HTSAT-tiny swin tower (models/htsat.py) -> `embedding` ->
+  audio_projection MLP -> L2 normalize.
+  text: RoBERTa-base (models/roberta.py) pooler_output -> text_projection MLP
+  -> L2 normalize. Score = audio_emb . text_emb.
+
+Weight-compatible with laion_clap checkpoints via convert_clap_state_dict
+(handles the DDP `module.` prefix and the stale position_ids buffer exactly
+like reference clap.py:23-27).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sam_audio_tpu.config import PEAVTransformerConfig
-from sam_audio_tpu.models.peav import peav_apply, peav_init
+from sam_audio_tpu.models.htsat import (
+    HTSATConfig,
+    convert_htsat_state_dict,
+    htsat_embed,
+    htsat_init,
+)
+from sam_audio_tpu.models.roberta import (
+    RobertaConfig,
+    convert_roberta_state_dict,
+    roberta_encode,
+    roberta_init,
+)
 from sam_audio_tpu.ops import nn as N
-from sam_audio_tpu.ops.mel import mel_spectrogram
 
 
 @dataclass(frozen=True)
 class ClapConfig:
+    # feature pipeline (laion_clap audio_cfg for HTSAT-tiny @48 kHz)
     sample_rate: int = 48_000
     duration_s: float = 10.0
     n_fft: int = 1024
@@ -36,48 +50,76 @@ class ClapConfig:
     n_mels: int = 64
     fmin: float = 50.0
     fmax: float = 14_000.0
-    patch_t: int = 4
-    patch_f: int = 4
-    audio_hidden: int = 256
-    audio_layers: int = 4
-    audio_heads: int = 4
+    # HTSAT audio tower (tiny: embed 96, depths 2/2/6/2)
+    spec_size: int = 256
+    patch_size: int = 4
+    audio_embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    audio_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    window_size: int = 8
+    # RoBERTa text tower (base)
     text_vocab: int = 50_265
-    text_hidden: int = 256
-    text_layers: int = 4
-    text_heads: int = 4
-    max_text_len: int = 512
+    text_hidden: int = 768
+    text_layers: int = 12
+    text_heads: int = 12
+    text_intermediate: int = 3072
+    max_text_len: int = 77
+    # joint space
     embed_dim: int = 512
 
     @property
     def n_samples(self) -> int:
         return int(self.duration_s * self.sample_rate)
 
+    @property
+    def htsat(self) -> HTSATConfig:
+        return HTSATConfig(
+            sample_rate=self.sample_rate, n_fft=self.n_fft,
+            hop_length=self.hop_length, n_mels=self.n_mels, fmin=self.fmin,
+            fmax=self.fmax, spec_size=self.spec_size,
+            patch_size=self.patch_size, embed_dim=self.audio_embed_dim,
+            depths=self.depths, num_heads=self.audio_heads,
+            window_size=self.window_size,
+        )
+
+    @property
+    def roberta(self) -> RobertaConfig:
+        return RobertaConfig(
+            vocab_size=self.text_vocab, hidden_size=self.text_hidden,
+            num_layers=self.text_layers, num_heads=self.text_heads,
+            intermediate_size=self.text_intermediate,
+        )
+
+
+def _mlp_proj_init(key, din, dmid, dout, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": N.linear_init(k1, din, dmid, bias=True, dtype=dtype),
+        "fc2": N.linear_init(k2, dmid, dout, bias=True, dtype=dtype),
+    }
+
+
+def _mlp_proj(params, x, compute_dtype=None):
+    """laion_clap projection head: Linear -> ReLU -> Linear."""
+    return N.linear(
+        params["fc2"],
+        jax.nn.relu(N.linear(params["fc1"], x, compute_dtype)),
+        compute_dtype,
+    )
+
 
 def clap_init(key, cfg: ClapConfig, dtype=jnp.float32):
-    ks = jax.random.split(key, 7)
-    audio_tf = PEAVTransformerConfig(hidden_size=cfg.audio_hidden,
-                                     num_layers=cfg.audio_layers,
-                                     num_heads=cfg.audio_heads)
-    text_tf = PEAVTransformerConfig(hidden_size=cfg.text_hidden,
-                                    num_layers=cfg.text_layers,
-                                    num_heads=cfg.text_heads)
+    ks = jax.random.split(key, 4)
+    out_dim = cfg.htsat.out_dim
     return {
-        "audio": {
-            "patch_embed": N.linear_init(
-                ks[0], cfg.patch_t * cfg.patch_f, cfg.audio_hidden, dtype=dtype
-            ),
-            "transformer": peav_init(ks[1], audio_tf, dtype),
-            "proj": N.linear_init(ks[2], cfg.audio_hidden, cfg.embed_dim,
-                                  dtype=dtype),
-        },
-        "text": {
-            "tok_embed": N.embedding_init(ks[3], cfg.text_vocab,
-                                          cfg.text_hidden, dtype=dtype),
-            "transformer": peav_init(ks[4], text_tf, dtype),
-            "proj": N.linear_init(ks[5], cfg.text_hidden, cfg.embed_dim,
-                                  dtype=dtype),
-        },
-        "logit_scale": jnp.asarray(np.log(1 / 0.07), dtype),
+        "audio_branch": htsat_init(ks[0], cfg.htsat, dtype),
+        "text_branch": roberta_init(ks[1], cfg.roberta, dtype),
+        "audio_projection": _mlp_proj_init(ks[2], out_dim, cfg.embed_dim,
+                                           cfg.embed_dim, dtype),
+        "text_projection": _mlp_proj_init(ks[3], cfg.text_hidden,
+                                          cfg.embed_dim, cfg.embed_dim, dtype),
+        "logit_scale_a": jnp.asarray(np.log(1 / 0.07), dtype),
+        "logit_scale_t": jnp.asarray(np.log(1 / 0.07), dtype),
     }
 
 
@@ -90,7 +132,7 @@ def quantize_roundtrip(wav: jnp.ndarray) -> jnp.ndarray:
 
 def fit_duration(wav: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     """Repeat-pad short audio / center-truncate long audio to n_samples
-    (laion_clap 'repeatpad' + eval-time truncation). wav: (B, T)."""
+    (laion_clap 'repeatpad' + deterministic truncation). wav: (B, T)."""
     t = wav.shape[-1]
     if t < n_samples:
         reps = int(np.ceil(n_samples / t))
@@ -102,10 +144,17 @@ def fit_duration(wav: jnp.ndarray, n_samples: int) -> jnp.ndarray:
     return wav
 
 
-def fit_duration_np(wav: np.ndarray, n_samples: int) -> np.ndarray:
+def fit_duration_np(wav: np.ndarray, n_samples: int,
+                    rand_trunc: bool = False,
+                    rng: Optional[np.random.RandomState] = None) -> np.ndarray:
     """Per-row numpy variant for host batching of variable-length audio:
     repeat-pads each waveform's TRUE length (not a zero-padded row), matching
-    laion_clap's per-file pipeline. wav: (T,)."""
+    laion_clap's per-file pipeline. wav: (T,).
+
+    rand_trunc=True reproduces laion_clap's `rand_trunc` data_truncating
+    (reference clap.py:58-61: a uniformly random crop of long audio) with a
+    seedable RandomState for determinism.
+    """
     wav = np.asarray(wav, np.float32).reshape(-1)
     t = wav.shape[-1]
     if t == 0:
@@ -114,7 +163,10 @@ def fit_duration_np(wav: np.ndarray, n_samples: int) -> np.ndarray:
         wav = np.tile(wav, int(np.ceil(n_samples / t)))
         t = wav.shape[-1]
     if t > n_samples:
-        start = (t - n_samples) // 2
+        if rand_trunc:
+            start = (rng or np.random).randint(0, t - n_samples + 1)
+        else:
+            start = (t - n_samples) // 2
         wav = wav[start : start + n_samples]
     return wav
 
@@ -123,47 +175,67 @@ def clap_audio_embed(params, cfg: ClapConfig, wav: jnp.ndarray,
                      compute_dtype=None) -> jnp.ndarray:
     """wav: (B, T) at cfg.sample_rate -> (B, embed_dim) L2-normalized."""
     wav = quantize_roundtrip(fit_duration(wav, cfg.n_samples))
-    mel = mel_spectrogram(
-        wav, sample_rate=cfg.sample_rate, n_fft=cfg.n_fft,
-        hop_length=cfg.hop_length, n_mels=cfg.n_mels, fmin=cfg.fmin,
-        fmax=cfg.fmax, mel_scale="htk",
-    )  # (B, F, M)
-    mel = jnp.log(jnp.maximum(mel, 1e-10))
-    b, f, m = mel.shape
-    f_t = (f // cfg.patch_t) * cfg.patch_t
-    mel = mel[:, :f_t].reshape(b, f_t // cfg.patch_t, cfg.patch_t,
-                               m // cfg.patch_f, cfg.patch_f)
-    patches = mel.transpose(0, 1, 3, 2, 4).reshape(
-        b, -1, cfg.patch_t * cfg.patch_f
-    )
-    if compute_dtype is not None:
-        patches = patches.astype(compute_dtype)
-    h = N.linear(params["audio"]["patch_embed"], patches, compute_dtype)
-    audio_tf = PEAVTransformerConfig(hidden_size=cfg.audio_hidden,
-                                     num_layers=cfg.audio_layers,
-                                     num_heads=cfg.audio_heads)
-    out = peav_apply(params["audio"]["transformer"], h, audio_tf,
-                     compute_dtype=compute_dtype)
-    emb = N.linear(params["audio"]["proj"], out.pooler_output, compute_dtype)
+    emb = htsat_embed(params["audio_branch"], cfg.htsat, wav, compute_dtype)
+    emb = _mlp_proj(params["audio_projection"], emb, compute_dtype)
     emb = emb.astype(jnp.float32)
     return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
 
 
 def clap_text_embed(params, cfg: ClapConfig, input_ids, attention_mask,
                     compute_dtype=None) -> jnp.ndarray:
-    h = N.embedding(params["text"]["tok_embed"], input_ids)
-    if compute_dtype is not None:
-        h = h.astype(compute_dtype)
-    text_tf = PEAVTransformerConfig(hidden_size=cfg.text_hidden,
-                                    num_layers=cfg.text_layers,
-                                    num_heads=cfg.text_heads)
-    out = peav_apply(params["text"]["transformer"], h, text_tf,
-                     padding_mask=attention_mask.astype(bool),
-                     compute_dtype=compute_dtype)
-    emb = N.linear(params["text"]["proj"], out.last_hidden_state[:, 0],
-                   compute_dtype)
+    _, pooled = roberta_encode(params["text_branch"], input_ids,
+                               attention_mask, cfg.roberta, compute_dtype)
+    emb = _mlp_proj(params["text_projection"], pooled, compute_dtype)
     emb = emb.astype(jnp.float32)
     return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+
+
+def convert_clap_state_dict(sd, cfg: ClapConfig):
+    """laion_clap CLAP state_dict -> our params.
+
+    Handles the DDP 'module.' prefix and drops the stale
+    text_branch.embeddings.position_ids buffer (reference clap.py:23-27).
+    Returns (params, unconverted).
+    """
+    sd = {k[7:] if k.startswith("module.") else k: np.asarray(v)
+          for k, v in sd.items()}
+    sd.pop("text_branch.embeddings.position_ids", None)
+    consumed = set()
+
+    audio, audio_consumed = convert_htsat_state_dict(sd, cfg.htsat,
+                                                     prefix="audio_branch.")
+    consumed |= audio_consumed
+
+    text_keys = [k for k in sd if k.startswith("text_branch.")]
+    text = convert_roberta_state_dict(sd, cfg.roberta, prefix="text_branch.")
+    consumed |= set(text_keys)  # converter consumes the full HF layout
+
+    def lin(base):
+        consumed.add(f"{base}.weight")
+        consumed.add(f"{base}.bias")
+        return {"weight": jnp.asarray(sd[f"{base}.weight"]),
+                "bias": jnp.asarray(sd[f"{base}.bias"])}
+
+    params = {
+        "audio_branch": audio,
+        "text_branch": text,
+        "audio_projection": {"fc1": lin("audio_projection.0"),
+                             "fc2": lin("audio_projection.2")},
+        "text_projection": {"fc1": lin("text_projection.0"),
+                            "fc2": lin("text_projection.2")},
+    }
+    for scale in ("logit_scale_a", "logit_scale_t"):
+        if scale in sd:
+            params[scale] = jnp.asarray(sd[scale])
+            consumed.add(scale)
+    # text_transform MLP exists in laion_clap's CLAP module but is unused on
+    # the roberta text path; keep the weights so nothing is dropped silently.
+    extras = {k: jnp.asarray(sd[k]) for k in sd if k.startswith("text_transform.")}
+    if extras:
+        params["text_transform_unused"] = extras
+        consumed |= set(extras)
+    unconverted = sorted(k for k in sd if k not in consumed)
+    return params, unconverted
 
 
 class ClapModel:
@@ -176,12 +248,24 @@ class ClapModel:
     def init_random(cls, key, cfg: ClapConfig = ClapConfig(), tokenizer=None):
         return cls(cfg, clap_init(key, cfg), tokenizer)
 
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, cfg: ClapConfig = ClapConfig(),
+                              tokenizer=None):
+        """Load a laion_clap .pt checkpoint (e.g. 630k-best.pt)."""
+        from sam_audio_tpu.checkpoint import _load_torch_state_dict
+
+        sd = _load_torch_state_dict(path, key="state_dict")
+        params, unconverted = convert_clap_state_dict(sd, cfg)
+        if unconverted:
+            raise ValueError(f"unconverted CLAP keys: {unconverted[:10]}...")
+        return cls(cfg, params, tokenizer)
+
     @property
     def tokenizer(self):
         if self._tokenizer is None:
-            from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+            from sam_audio_tpu.text_tokenizer import get_roberta_tokenizer
 
-            self._tokenizer = ByteFallbackTokenizer(self.cfg.text_vocab)
+            self._tokenizer = get_roberta_tokenizer(self.cfg.text_vocab)
         return self._tokenizer
 
     def get_audio_embedding(self, wavs: jnp.ndarray) -> jnp.ndarray:

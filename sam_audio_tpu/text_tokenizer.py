@@ -71,6 +71,144 @@ class ByteFallbackTokenizer:
         return ids_arr, mask
 
 
+class RobertaBPETokenizer:
+    """RoBERTa's GPT-2-style byte-level BPE, implemented from vocab.json +
+    merges.txt (the CLAP text tokenizer; laion_clap tokenizes with HF
+    RobertaTokenizer('roberta-base'), padding='max_length', max_length=77).
+
+    Pure-Python and hermetic once the two vocabulary files are on disk
+    (point SAM_AUDIO_ROBERTA_TOKENIZER at a directory containing them).
+    Special ids follow roberta-base: <s>=0, <pad>=1, </s>=2, <unk>=3.
+    """
+
+    bos_id, pad_id, eos_id, unk_id = 0, 1, 2, 3
+
+    def __init__(self, vocab: dict, merges: list):
+        self.encoder = vocab
+        self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.byte_encoder = _bytes_to_unicode()
+        self._cache: dict = {}
+        import regex
+
+        self.pat = regex.compile(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+            r"|\s+(?!\S)|\s+"
+        )
+
+    @classmethod
+    def from_files(cls, vocab_json: str, merges_txt: str):
+        import json
+
+        with open(vocab_json, encoding="utf-8") as f:
+            vocab = json.load(f)
+        merges = []
+        with open(merges_txt, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#version"):
+                    continue
+                merges.append(tuple(line.split(" ")))
+        return cls(vocab, merges)
+
+    @classmethod
+    def from_dir(cls, path: str):
+        import os
+
+        return cls.from_files(os.path.join(path, "vocab.json"),
+                              os.path.join(path, "merges.txt"))
+
+    def _bpe(self, token: str) -> list:
+        if token in self._cache:
+            return self._cache[token]
+        word = tuple(token)
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: self.bpe_ranks.get(p, 1 << 62))
+            if best not in self.bpe_ranks:
+                break
+            first, second = best
+            merged = []
+            i = 0
+            while i < len(word):
+                if (i < len(word) - 1 and word[i] == first
+                        and word[i + 1] == second):
+                    merged.append(first + second)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = tuple(merged)
+        out = list(word)
+        self._cache[token] = out
+        return out
+
+    def encode_text(self, text: str) -> List[int]:
+        ids: List[int] = []
+        for token in self.pat.findall(text):
+            mapped = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            for piece in self._bpe(mapped):
+                ids.append(self.encoder.get(piece, self.unk_id))
+        return ids
+
+    def __call__(self, texts: Sequence[str], max_length: Optional[int] = 77,
+                 pad_to_max: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+        seqs = []
+        for t in texts:
+            ids = self.encode_text(t)
+            if max_length is not None:
+                ids = ids[: max_length - 2]
+            seqs.append([self.bos_id] + ids + [self.eos_id])
+        if pad_to_max and max_length is not None:
+            longest = max_length
+        else:
+            longest = max(len(s) for s in seqs) if seqs else 2
+        ids_arr = np.full((len(seqs), longest), self.pad_id, np.int32)
+        mask = np.zeros((len(seqs), longest), bool)
+        for i, s in enumerate(seqs):
+            ids_arr[i, : len(s)] = s
+            mask[i, : len(s)] = True
+        return ids_arr, mask
+
+
+def _bytes_to_unicode() -> dict:
+    """GPT-2's reversible byte <-> printable-unicode map."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def get_roberta_tokenizer(vocab_size: int = 50265):
+    """Best tokenizer available for the CLAP text tower: in-repo/env BPE files
+    -> locally-cached HF roberta-base -> hermetic byte fallback (only valid
+    with randomly-initialized text towers)."""
+    import os
+
+    for cand in (os.environ.get("SAM_AUDIO_ROBERTA_TOKENIZER"),
+                 os.path.join(os.path.dirname(__file__), "assets",
+                              "roberta_tokenizer")):
+        if cand and os.path.exists(os.path.join(cand, "vocab.json")):
+            return RobertaBPETokenizer.from_dir(cand)
+    try:
+        from transformers import AutoTokenizer
+
+        tok = HFTokenizer.__new__(HFTokenizer)
+        # local cache only — no network retries on air-gapped hosts
+        tok.tok = AutoTokenizer.from_pretrained("roberta-base",
+                                                local_files_only=True)
+        return tok
+    except Exception:
+        pass
+    return ByteFallbackTokenizer(vocab_size)
+
+
 def get_text_tokenizer(cfg_or_name, prefer_hf: bool = True):
     name = getattr(cfg_or_name, "name", cfg_or_name)
     vocab = getattr(cfg_or_name, "vocab_size", 32128)

@@ -92,9 +92,11 @@ def test_full_eval_loop_synthetic(tmp_path):
             jax.random.PRNGKey(2),
             ClapConfig(sample_rate=8000, duration_s=0.25, n_fft=128,
                        hop_length=64, n_mels=16, fmin=10.0, fmax=4000.0,
-                       audio_hidden=16, audio_layers=1, audio_heads=2,
+                       spec_size=64, patch_size=4, audio_embed_dim=8,
+                       depths=(1, 1), audio_heads=(2, 2), window_size=4,
                        text_vocab=300, text_hidden=16, text_layers=1,
-                       text_heads=2, embed_dim=8),
+                       text_heads=2, text_intermediate=24, max_text_len=16,
+                       embed_dim=8),
             tokenizer=ByteFallbackTokenizer(300),
         )),
     ]
