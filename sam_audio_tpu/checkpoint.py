@@ -738,9 +738,39 @@ def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
                 jax.random.PRNGKey(0), cfg
             )["text_encoder"]
 
+    # Span predictor: a converted PEAudioFrame checkpoint placed in the
+    # snapshot under span_predictor/ (params.npz + config.json with the
+    # sniffed arch switches) attaches the weight-faithful executor; otherwise
+    # separate(predict_spans=True) requires attaching one explicitly
+    # (reference model.py:96-102 loads "pe-a-frame-large" from its own repo).
+    span_predictor = None
+    sp_dir = os.path.join(snapshot, "span_predictor")
+    if cfg.span_predictor is not None and os.path.exists(
+        os.path.join(sp_dir, "params.npz")
+    ):
+        from sam_audio_tpu.models.span_predictor import (
+            PEAudioFrameConfig,
+            PEAudioFrameModel,
+        )
+
+        import dataclasses
+
+        sp_cfg_path = os.path.join(sp_dir, "config.json")
+        sp_kwargs = {}
+        if os.path.exists(sp_cfg_path):
+            with open(sp_cfg_path) as fin:
+                raw = json.load(fin)
+            known = {f.name for f in dataclasses.fields(PEAudioFrameConfig)}
+            sp_kwargs = {k: v for k, v in raw.items() if k in known}
+        span_predictor = PEAudioFrameModel(
+            PEAudioFrameConfig(**sp_kwargs),
+            load_params(os.path.join(sp_dir, "params.npz")),
+        )
+
     model = SAMAudio(
         cfg, params,
         visual_ranker=create_ranker(cfg.visual_ranker),
         text_ranker=create_ranker(cfg.text_ranker),
+        span_predictor=span_predictor,
     )
     return model

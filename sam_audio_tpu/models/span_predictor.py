@@ -143,6 +143,156 @@ def frames_to_spans(probs: np.ndarray, valid_mask: np.ndarray,
     return out
 
 
+# ---------------------------------------------------------------------------
+# PEAudioFrame-compatible executor
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class PEAudioFrameConfig:
+    """Config for a converted PEAudioFrame ("pe-a-frame-large") checkpoint
+    (reference model.py:96-102). The transformer arch switches are sniffed at
+    conversion time by checkpoint.convert_peav_tower."""
+
+    audio_dim: int = 128
+    hidden: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    vocab_size: int = 50368
+    threshold: float = 0.5
+    min_duration_s: float = 0.2
+    prenorm: bool = True
+    act: str = "gelu_tanh"
+    pos: str = "sinusoidal"
+    norm: str = "layernorm"
+
+
+def peaudioframe_forward(params, cfg: PEAudioFrameConfig, audio_features,
+                         audio_pad_mask, input_ids, attention_mask,
+                         compute_dtype=None):
+    """Joint-sequence PEAudioFrame executor: [text token embeddings ;
+    projected audio frames] through one PE-AV transformer, frame head over
+    the audio positions. Returns frame logits (B, T) fp32.
+
+    audio_features: (B, T, audio_dim) mixture latents (first 128 channels,
+    reference model.py:238); input_ids/attention_mask from the text
+    transform (reference model.py:234-242)."""
+    from sam_audio_tpu.config import PEAVTransformerConfig
+    from sam_audio_tpu.models.peav import peav_apply
+
+    b, t, _ = audio_features.shape
+    text = N.embedding(params["text_embed"], input_ids)
+    audio = N.linear(params["data_proj"], audio_features, compute_dtype)
+    x = jnp.concatenate([text.astype(audio.dtype), audio], axis=1)
+    mask = jnp.concatenate(
+        [attention_mask.astype(bool), audio_pad_mask.astype(bool)], axis=1
+    )
+    tf_cfg = PEAVTransformerConfig(
+        hidden_size=cfg.hidden, num_layers=cfg.num_layers,
+        num_heads=cfg.num_heads, prenorm=cfg.prenorm, act=cfg.act,
+        pos=cfg.pos, norm=cfg.norm,
+    )
+    out = peav_apply(params["transformer"], x, tf_cfg, padding_mask=mask,
+                     compute_dtype=compute_dtype)
+    frames = out.last_hidden_state[:, -t:]
+    return N.linear(params["head"], frames, None)[..., 0].astype(jnp.float32)
+
+
+class PEAudioFrameModel:
+    """Span predictor running a converted PEAudioFrame checkpoint; same
+    callable interface as SpanPredictor."""
+
+    def __init__(self, cfg: PEAudioFrameConfig, params, tokenizer=None):
+        self.cfg = cfg
+        self.params = params
+        self._tokenizer = tokenizer
+
+    @property
+    def tokenizer(self):
+        if self._tokenizer is None:
+            from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+            self._tokenizer = ByteFallbackTokenizer(self.cfg.vocab_size)
+        return self._tokenizer
+
+    def __call__(self, model, batch, audios) -> List[List[Tuple[float, float]]]:
+        from sam_audio_tpu.models import dacvae
+
+        lat = dacvae.encode(model.params["audio_codec"], jnp.asarray(audios),
+                            model.cfg.audio_codec)
+        lat = jnp.swapaxes(lat, 1, 2)[..., : self.cfg.audio_dim]
+        ids, mask = self.tokenizer(batch.descriptions)
+        pad_mask = jnp.asarray(batch.audio_pad_mask)
+        logits = peaudioframe_forward(
+            self.params, self.cfg, lat, pad_mask, jnp.asarray(ids),
+            jnp.asarray(mask),
+        )
+        probs = np.asarray(jax.nn.sigmoid(logits))
+        fps = model.sample_rate / model.hop_length
+        return frames_to_spans(
+            probs, np.asarray(batch.audio_pad_mask),
+            threshold=self.cfg.threshold,
+            min_duration_s=self.cfg.min_duration_s, frame_rate=fps,
+        )
+
+
+def convert_peaudioframe_state_dict(sd, cfg: PEAudioFrameConfig):
+    """Map a PEAudioFrame checkpoint onto the executor params.
+
+    The transformer tower is layout-sniffed via checkpoint.convert_peav_tower
+    (same naming families validated for the judge's PE-AV towers); the text
+    embedding / audio projection / frame head are matched by common names.
+    Returns (params, arch, unconverted)."""
+    import numpy as onp
+
+    from sam_audio_tpu.checkpoint import convert_peav_tower
+
+    sd = {k[7:] if k.startswith("module.") else k: onp.asarray(v)
+          for k, v in sd.items()}
+    consumed = set()
+
+    def lin(base):
+        p = {"weight": jnp.asarray(sd[f"{base}.weight"])}
+        consumed.add(f"{base}.weight")
+        if f"{base}.bias" in sd:
+            p["bias"] = jnp.asarray(sd[f"{base}.bias"])
+            consumed.add(f"{base}.bias")
+        return p
+
+    def find(cands):
+        for c in cands:
+            if f"{c}.weight" in sd:
+                return c
+        return None
+
+    tower_prefix = None
+    for cand in ("transformer.", "audio_encoder.", "encoder.", "model.", ""):
+        try:
+            tower, arch, left = convert_peav_tower(sd, cand, cfg)
+            tower_prefix = cand
+            break
+        except (ValueError, KeyError):
+            continue
+    if tower_prefix is None:
+        raise ValueError("no PE-AV transformer tower found in state_dict")
+    consumed |= {k for k in sd if k.startswith(tower_prefix)} - set(left)
+
+    params = {"transformer": tower}
+    emb = find(["text_embed", "token_embedding", "embed_tokens",
+                "text_embedding", "word_embeddings",
+                "text_encoder.embed_tokens"])
+    if emb:
+        params["text_embed"] = lin(emb)
+    proj = find(["data_proj", "input_proj", "audio_proj", "in_proj", "proj"])
+    if proj:
+        params["data_proj"] = lin(proj)
+    head = find(["head", "frame_head", "classifier", "span_head", "fc_out"])
+    if head:
+        params["head"] = lin(head)
+    unconverted = sorted(set(sd) - consumed)
+    return params, arch, unconverted
+
+
 class SpanPredictor:
     """Callable attached to SAMAudio.span_predictor: (model, batch, audios)
     -> per-item span lists."""
