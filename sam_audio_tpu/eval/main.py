@@ -22,8 +22,14 @@ from sam_audio_tpu.eval.settings import SETTINGS, make_dataset
 
 
 def gather_and_average_results(rows: List[Dict[str, float]],
-                               multihost: bool = False) -> Dict[str, float]:
-    """rows: list of per-item metric dicts."""
+                               multihost: bool = False,
+                               _allgather=None) -> Dict[str, float]:
+    """rows: list of per-item metric dicts. With multihost=True, per-rank
+    {sum, count} vectors are allgathered over DCN and the global mean is
+    returned on every process (reference eval/main.py:19-42 semantics, using
+    jax process_allgather instead of NCCL all_gather_object). All ranks must
+    compute the same metric key set. `_allgather` injects a fake collective
+    for tests."""
     summed: Dict[str, float] = {}
     count = 0
     for row in rows:
@@ -31,12 +37,19 @@ def gather_and_average_results(rows: List[Dict[str, float]],
             summed[k] = summed.get(k, 0.0) + float(v)
         count += 1
     if multihost:
-        import jax
-        from jax.experimental import multihost_utils
+        if _allgather is None:
+            from jax.experimental import multihost_utils
+
+            def _allgather(local):
+                return np.asarray(multihost_utils.process_allgather(local))
 
         keys = sorted(summed)
         local = np.asarray([summed[k] for k in keys] + [count], np.float64)
-        gathered = np.asarray(multihost_utils.process_allgather(local))
+        gathered = np.asarray(_allgather(local))
+        assert gathered.ndim == 2 and gathered.shape[1] == len(keys) + 1, (
+            "rank metric-vector shape mismatch — all ranks must report the "
+            "same metric keys"
+        )
         total = gathered.sum(axis=0)
         summed = dict(zip(keys, total[:-1]))
         count = int(total[-1])

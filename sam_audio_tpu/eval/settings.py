@@ -56,5 +56,13 @@ SETTINGS = {
 
 
 def make_dataset(setting: str, cache_path: str, collate_fn: Callable):
-    dataset, kwargs = SETTINGS[setting]
-    return dataset(cache_path=cache_path, collate_fn=collate_fn, **kwargs)
+    """Instantiate a registered eval setting by name (raises with the full
+    setting list on a typo)."""
+    try:
+        dataset_cls, dataset_kwargs = SETTINGS[setting]
+    except KeyError:
+        raise KeyError(
+            f"unknown eval setting {setting!r}; choose from {sorted(SETTINGS)}"
+        ) from None
+    return dataset_cls(cache_path=cache_path, collate_fn=collate_fn,
+                       **dataset_kwargs)

@@ -130,3 +130,42 @@ def test_settings_registry_matches_reference():
         "instr-wild-span", "sfx-visual", "speaker-visual", "instr-wild-visual",
     }
     assert reference_settings.issubset(set(SETTINGS.keys()))
+
+
+def test_gather_and_average_multihost_simulated():
+    """Simulated 3-process allgather: the returned mean must equal the global
+    mean over every rank's rows (eval/main.py multihost path)."""
+    from sam_audio_tpu.eval.main import gather_and_average_results
+
+    rank_rows = [
+        [{"a": 1.0, "b": 2.0}, {"a": 3.0, "b": 4.0}],   # rank 0 (local)
+        [{"a": 5.0, "b": 6.0}],                           # rank 1
+        [{"a": 7.0, "b": 8.0}, {"a": 9.0, "b": 10.0}],   # rank 2
+    ]
+
+    def fake_allgather(local):
+        vecs = []
+        for rows in rank_rows:
+            s = {"a": 0.0, "b": 0.0}
+            for r in rows:
+                s["a"] += r["a"]
+                s["b"] += r["b"]
+            vecs.append([s["a"], s["b"], len(rows)])
+        # every rank contributes its own vector; ours must match rank 0's
+        np.testing.assert_allclose(local, vecs[0])
+        return np.asarray(vecs, np.float64)
+
+    res = gather_and_average_results(rank_rows[0], multihost=True,
+                                     _allgather=fake_allgather)
+    all_rows = [r for rows in rank_rows for r in rows]
+    np.testing.assert_allclose(res["a"], np.mean([r["a"] for r in all_rows]))
+    np.testing.assert_allclose(res["b"], np.mean([r["b"] for r in all_rows]))
+
+
+def test_make_dataset_unknown_setting_lists_choices():
+    import pytest
+
+    from sam_audio_tpu.eval.settings import make_dataset
+
+    with pytest.raises(KeyError, match="unknown eval setting"):
+        make_dataset("not-a-setting", cache_path="/tmp", collate_fn=None)
