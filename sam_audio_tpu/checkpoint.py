@@ -437,6 +437,7 @@ _PEAV_FUSED_SCHEMES = [
 _PEAV_NORM_SCHEMES = [
     ("ln_1", "ln_2", True),
     ("norm1", "norm2", True),
+    ("norm_1", "norm_2", True),  # imagebind BlockWithMasking
     ("layer_norm1", "layer_norm2", True),
     ("self_attn_layer_norm", "final_layer_norm", True),
     ("attention_norm", "ffn_norm", True),
@@ -593,9 +594,17 @@ def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg):
         lp["mlp"] = mlp
 
         for ls_name, slot in (("ls1.gamma", "ls1"), ("ls2.gamma", "ls2"),
-                              ("gamma_1", "ls1"), ("gamma_2", "ls2")):
+                              ("gamma_1", "ls1"), ("gamma_2", "ls2"),
+                              ("layer_scale_gamma1", "ls1"),
+                              ("layer_scale_gamma2", "ls2")):
             if have(f"{L}.{ls_name}"):
-                lp[slot] = take(f"{L}.{ls_name}")
+                lp[slot] = take(f"{L}.{ls_name}").reshape(-1)
+        # torch MultiheadAttention add_bias_kv: learned kv-token appended
+        # after projection (imagebind audio trunk)
+        for bkv in ("bias_k", "bias_v"):
+            for root in ("attn", "self_attn"):
+                if have(f"{L}.{root}.{bkv}"):
+                    lp["attn"][bkv] = take(f"{L}.{root}.{bkv}").reshape(-1)
         layers.append(lp)
 
     params = {

@@ -18,6 +18,7 @@ HBM safety on very long videos.
 
 from __future__ import annotations
 
+import re
 from typing import List, Sequence
 
 import jax
@@ -117,6 +118,8 @@ def encode_images(params, x: jnp.ndarray, cfg: PerceptionEncoderConfig,
         cls = jnp.broadcast_to(params["cls_token"][None, None, :], (n, 1, w))
         h = jnp.concatenate([cls.astype(h.dtype), h], axis=1)
     h = h + params["pos_embed"][None].astype(h.dtype)
+    if "ln_pre" in params:
+        h = N.layernorm(params["ln_pre"], h)
 
     def body(carry, layer):
         hc = carry
@@ -148,6 +151,133 @@ def encode_images(params, x: jnp.ndarray, cfg: PerceptionEncoderConfig,
         out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True),
                                 1e-8)
     return out
+
+
+def convert_pe_clip_state_dict(sd, cfg: PerceptionEncoderConfig,
+                               prefix: str = "visual."):
+    """PE-Core CLIP image-tower state_dict -> our params (reference
+    vision_encoder.py:86-90 builds pe.CLIP.from_config("PE-Core-L14-336")).
+
+    Sniffs CLIP/open_clip-style naming (conv1 / class_embedding /
+    positional_embedding / transformer.resblocks via the layout-sniffing
+    PE-AV converter / ln_post / attn_pool / proj) plus timm-style aliases.
+    Returns (params, unconverted)."""
+    import numpy as onp
+
+    from sam_audio_tpu.checkpoint import convert_peav_tower
+    from sam_audio_tpu.config import PEAVTransformerConfig
+
+    sub = {k[len(prefix):]: onp.asarray(v) for k, v in sd.items()
+           if k.startswith(prefix)}
+    if not sub:  # tower not nested under `visual.`
+        sub = {k: onp.asarray(v) for k, v in sd.items()}
+        prefix = ""
+    consumed = set()
+
+    def g(k):
+        consumed.add(k)
+        return jnp.asarray(sub[k])
+
+    def have(k):
+        return k in sub
+
+    def first(*cands):
+        for c in cands:
+            if have(c):
+                return c
+        return None
+
+    params = {}
+    stem = first("conv1.weight", "patch_embed.proj.weight", "patchify.weight")
+    if stem is None:
+        raise ValueError("no patch-embed conv in PE-CLIP state_dict")
+    params["patch_embed"] = {"weight": g(stem)}
+    bias = stem.rsplit(".", 1)[0] + ".bias"
+    if have(bias):
+        params["patch_embed"]["bias"] = g(bias)
+
+    cls = first("class_embedding", "cls_token")
+    if cls is not None:
+        params["cls_token"] = g(cls).reshape(-1)
+    pos = first("positional_embedding", "pos_embed")
+    if pos is not None:
+        params["pos_embed"] = g(pos).reshape(-1, cfg.width)
+
+    tf_cfg = PEAVTransformerConfig(hidden_size=cfg.width,
+                                   num_layers=cfg.vit_layers,
+                                   num_heads=cfg.vit_heads, pos="none")
+    tower, arch, left = convert_peav_tower(sub, "", tf_cfg)
+    params["layers"] = tower["layers"]
+    if "ln_pre" in tower:
+        params["ln_pre"] = tower["ln_pre"]
+    if "final_norm" in tower:  # ln_post is sniffed as the tower final norm
+        params["ln_post"] = tower["final_norm"]
+    consumed |= set(sub) - set(left)
+
+    if "ln_post" not in params:
+        post = first("ln_post", "norm", "final_layer_norm")
+        if post is not None:
+            params["ln_post"] = {"weight": g(f"{post}.weight"),
+                                 "bias": g(f"{post}.bias")}
+
+    # attentive pooling (PE-Core / SigLIP style probe attention)
+    for ap_base in ("attn_pool", "attnpool", "attention_pool", "pool"):
+        probe = first(f"{ap_base}.probe", f"{ap_base}.query",
+                      f"{ap_base}.cls_token")
+        if probe is None:
+            continue
+        ap = {"probe": g(probe).reshape(1, -1)}
+        if have(f"{ap_base}.attn.in_proj_weight"):
+            w = onp.asarray(g(f"{ap_base}.attn.in_proj_weight"))
+            wq, wk, wv = onp.split(w, 3, axis=0)
+            ap["wq"] = {"weight": jnp.asarray(wq)}
+            ap["wk"] = {"weight": jnp.asarray(wk)}
+            ap["wv"] = {"weight": jnp.asarray(wv)}
+            if have(f"{ap_base}.attn.in_proj_bias"):
+                b = onp.asarray(g(f"{ap_base}.attn.in_proj_bias"))
+                bq, bk, bv = onp.split(b, 3, axis=0)
+                ap["wq"]["bias"] = jnp.asarray(bq)
+                ap["wk"]["bias"] = jnp.asarray(bk)
+                ap["wv"]["bias"] = jnp.asarray(bv)
+            ap["wo"] = {"weight": g(f"{ap_base}.attn.out_proj.weight")}
+            if have(f"{ap_base}.attn.out_proj.bias"):
+                ap["wo"]["bias"] = g(f"{ap_base}.attn.out_proj.bias")
+        else:
+            for role, names in (("wq", ("q", "q_proj", "wq")),
+                                ("wk", ("k", "k_proj", "wk")),
+                                ("wv", ("v", "v_proj", "wv")),
+                                ("wo", ("proj", "out_proj", "wo"))):
+                n = first(*(f"{ap_base}.{x}.weight" for x in names))
+                if n is None:
+                    raise ValueError(f"unrecognized attn_pool in {ap_base}")
+                base = n[: -len(".weight")]
+                ap[role] = {"weight": g(n)}
+                if have(f"{base}.bias"):
+                    ap[role]["bias"] = g(f"{base}.bias")
+        ln = first(f"{ap_base}.layernorm.weight", f"{ap_base}.ln.weight",
+                   f"{ap_base}.norm.weight")
+        if ln is not None:
+            base = ln[: -len(".weight")]
+            ap["ln"] = {"weight": g(ln), "bias": g(f"{base}.bias")}
+        params["attn_pool"] = ap
+        break
+
+    proj = first("proj", "head.weight", "projection.weight")
+    if proj == "proj":  # CLIP-style raw (width, dim) matrix: x @ proj
+        params["proj"] = {"weight": jnp.asarray(onp.asarray(g("proj")).T)}
+    elif proj is not None:
+        base = proj[: -len(".weight")]
+        params["proj"] = {"weight": g(proj)}
+        if have(f"{base}.bias"):
+            params["proj"]["bias"] = g(f"{base}.bias")
+
+    _IGNORE = re.compile(r"(rotary|rope|freqs|logit_scale|attn\.bias|"
+                         r"position_ids|num_batches_tracked)")
+    for k in sub:
+        if k not in consumed and _IGNORE.search(k):
+            consumed.add(k)
+    unconverted = sorted(prefix + k for k in sub if k not in consumed)
+    return params, unconverted
 
 
 class PerceptionEncoder:

@@ -123,7 +123,19 @@ def peav_apply(params, x, cfg: PEAVTransformerConfig, padding_mask=None,
             q = _per_head_norm(a["q_norm"], q, eps)
         if "k_norm" in a:
             k = _per_head_norm(a["k_norm"], k, eps)
-        o = attend(q, k, v, key_padding_mask=padding_mask)
+        mask = padding_mask
+        if "bias_k" in a:  # torch MHA add_bias_kv: one learned kv token
+            bk = jnp.broadcast_to(a["bias_k"].reshape(1, 1, nh, hd),
+                                  (b, 1, nh, hd)).astype(k.dtype)
+            bv = jnp.broadcast_to(a["bias_v"].reshape(1, 1, nh, hd),
+                                  (b, 1, nh, hd)).astype(v.dtype)
+            k = jnp.concatenate([k, bk], axis=1)
+            v = jnp.concatenate([v, bv], axis=1)
+            if mask is not None:
+                mask = jnp.concatenate(
+                    [mask, jnp.ones((b, 1), mask.dtype)], axis=1
+                )
+        o = attend(q, k, v, key_padding_mask=mask)
         return N.linear(a["wo"], o.reshape(b, t, h), compute_dtype)
 
     def mlp_block(layer, y):
