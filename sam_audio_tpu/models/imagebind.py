@@ -27,7 +27,7 @@ import numpy as np
 from sam_audio_tpu.config import PEAVTransformerConfig
 from sam_audio_tpu.models.peav import peav_apply, peav_init
 from sam_audio_tpu.ops import nn as N
-from sam_audio_tpu.ops.mel import mel_spectrogram
+from sam_audio_tpu.ops.mel import kaldi_fbank
 
 AUDIO_MEAN = -4.268
 AUDIO_STD = 9.138
@@ -83,28 +83,45 @@ def imagebind_init(key, cfg: ImageBindConfig, dtype=jnp.float32):
     }
 
 
+def clip_start_times(duration_s: float, clip_duration_s: float,
+                     num_clips: int) -> np.ndarray:
+    """pytorchvideo ConstantClipsPerVideoSampler timepoints: starts spaced by
+    max(duration - clip_duration, 0) / num_clips (NOT /(n-1)), one per clip
+    (reference imagebind.py:46-66 via imagebind.data.get_clip_timepoints)."""
+    max_start = max(duration_s - clip_duration_s, 0.0)
+    return np.arange(num_clips) * (max_start / num_clips)
+
+
 def audio_to_melclips(wav: np.ndarray, cfg: ImageBindConfig) -> np.ndarray:
-    """(T,) 16 kHz -> (num_clips, target_frames, n_mels) normalized log-mel
-    (reference imagebind.py:30-86)."""
-    clip_len = int(cfg.clip_duration_s * cfg.sample_rate)
+    """(T,) 16 kHz -> (num_clips, target_frames, n_mels) normalized log-mel.
+
+    Faithful to imagebind.data.waveform2melspec (reference
+    imagebind.py:67-86): per clip, subtract the waveform mean, Kaldi fbank
+    (hanning window, htk_compat, dither=0), pad/trim the *frame* axis to
+    target_length with zeros, then Normalize(mean=-4.268, std=9.138) — the
+    padded frames therefore normalize to +mean/std, exactly like the
+    reference (short final clips are mel-padded, not waveform-padded)."""
+    sr = cfg.sample_rate
     t = wav.shape[-1]
-    if t < clip_len:
-        wav = np.pad(wav, (0, clip_len - t))
-        t = clip_len
-    starts = np.linspace(0, t - clip_len, cfg.num_audio_clips).astype(int)
-    clips = np.stack([wav[s : s + clip_len] for s in starts])
-    mel = mel_spectrogram(
-        jnp.asarray(clips), sample_rate=cfg.sample_rate, n_fft=cfg.n_fft,
-        hop_length=cfg.hop_length, n_mels=cfg.n_mels, fmin=0.0,
-        mel_scale="htk",
-    )
-    logmel = jnp.log(jnp.maximum(mel, 1e-10))
-    f = logmel.shape[1]
-    if f < cfg.target_frames:
-        logmel = jnp.pad(logmel, ((0, 0), (0, cfg.target_frames - f), (0, 0)))
-    else:
-        logmel = logmel[:, : cfg.target_frames]
-    return np.asarray((logmel - AUDIO_MEAN) / AUDIO_STD)
+    clip_len = int(cfg.clip_duration_s * sr)
+    starts = clip_start_times(t / sr, cfg.clip_duration_s, cfg.num_audio_clips)
+    out = []
+    for s in starts:
+        clip = wav[int(s * sr): int((s + cfg.clip_duration_s) * sr)]
+        if clip.shape[-1] == 0:
+            clip = np.zeros((min(t, clip_len) or clip_len,), wav.dtype)
+        clip = clip - clip.mean()
+        fb = kaldi_fbank(clip, sample_frequency=sr, num_mel_bins=cfg.n_mels,
+                         frame_length=25.0, frame_shift=10.0,
+                         window_type="hanning")  # (frames, mels)
+        f = fb.shape[0]
+        if f < cfg.target_frames:
+            fb = np.pad(fb, ((0, cfg.target_frames - f), (0, 0)))
+        else:
+            fb = fb[: cfg.target_frames]
+        out.append(fb)
+    clips = np.stack(out)  # (num_clips, target_frames, n_mels)
+    return ((clips - AUDIO_MEAN) / AUDIO_STD).astype(np.float32)
 
 
 def encode_audio(params, cfg: ImageBindConfig, melclips: jnp.ndarray,

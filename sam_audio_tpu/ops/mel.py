@@ -108,6 +108,117 @@ def mel_spectrogram(x: jnp.ndarray, sample_rate: int, n_fft: int,
     return spec @ fb
 
 
+# ---------------------------------------------------------------------------
+# Kaldi-compatible fbank (torchaudio.compliance.kaldi.fbank numerics)
+# ---------------------------------------------------------------------------
+
+
+def _next_power_of_2(n: int) -> int:
+    return 1 if n == 0 else 2 ** (n - 1).bit_length()
+
+
+@lru_cache(maxsize=16)
+def kaldi_mel_banks(num_bins: int, padded_window_size: int,
+                    sample_freq: float, low_freq: float = 20.0,
+                    high_freq: float = 0.0) -> np.ndarray:
+    """Kaldi mel filterbank, (num_bins, padded_window_size//2 + 1).
+
+    Kaldi's construction (torchaudio.compliance.kaldi.get_mel_banks): mel
+    scale 1127*ln(1+f/700), triangles placed on an even mel grid between
+    low_freq and high_freq (<=0 means offset from Nyquist), evaluated at the
+    FFT bin centre frequencies; the final (Nyquist) column is zero."""
+    num_fft_bins = padded_window_size // 2
+    nyquist = 0.5 * sample_freq
+    if high_freq <= 0.0:
+        high_freq = high_freq + nyquist
+    assert 0.0 <= low_freq < high_freq <= nyquist, (low_freq, high_freq)
+
+    def mel(f):
+        return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+
+    fft_bin_width = sample_freq / padded_window_size
+    mel_low, mel_high = mel(low_freq), mel(high_freq)
+    mel_delta = (mel_high - mel_low) / (num_bins + 1)
+    bins = np.arange(num_bins, dtype=np.float64)[:, None]
+    left_mel = mel_low + bins * mel_delta
+    center_mel = mel_low + (bins + 1.0) * mel_delta
+    right_mel = mel_low + (bins + 2.0) * mel_delta
+    freq_mel = mel(fft_bin_width * np.arange(num_fft_bins))[None, :]
+    up = (freq_mel - left_mel) / (center_mel - left_mel)
+    down = (right_mel - freq_mel) / (right_mel - center_mel)
+    fb = np.maximum(0.0, np.minimum(up, down))
+    # pad one zero column so it applies directly to an rfft output
+    fb = np.pad(fb, ((0, 0), (0, 1)))
+    return fb.astype(np.float32)
+
+
+def kaldi_fbank(waveform: np.ndarray, sample_frequency: float = 16000.0,
+                num_mel_bins: int = 128, frame_length: float = 25.0,
+                frame_shift: float = 10.0, window_type: str = "hanning",
+                low_freq: float = 20.0, high_freq: float = 0.0,
+                preemphasis_coefficient: float = 0.97,
+                remove_dc_offset: bool = True, round_to_power_of_two: bool = True,
+                snip_edges: bool = True, use_power: bool = True,
+                use_log_fbank: bool = True, blackman_coeff: float = 0.42,
+                ) -> np.ndarray:
+    """Kaldi-compatible log-mel fbank, numpy host-side.
+
+    Replicates torchaudio.compliance.kaldi.fbank with dither=0 and
+    use_energy=False (the ImageBind frontend's exact call, reference
+    sam_audio/ranking/imagebind.py:75-77 -> imagebind.data.waveform2melspec):
+    snip-edges framing, per-frame DC removal, replicate-edge preemphasis,
+    periodic=False window, zero-pad to a power-of-two FFT, Kaldi mel banks,
+    natural log floored at float32 eps. Returns (num_frames, num_mel_bins)
+    float32; empty (0, num_mel_bins) when the signal is shorter than one
+    window (kaldi min_duration behavior).
+    """
+    wav = np.asarray(waveform, np.float64).reshape(-1)
+    window_shift = int(sample_frequency * frame_shift * 0.001)
+    window_size = int(sample_frequency * frame_length * 0.001)
+    padded = _next_power_of_2(window_size) if round_to_power_of_two else window_size
+    if not snip_edges:
+        raise NotImplementedError("only snip_edges=True (the kaldi default)")
+    if len(wav) < window_size:
+        return np.zeros((0, num_mel_bins), np.float32)
+    m = 1 + (len(wav) - window_size) // window_shift
+    idx = (np.arange(m)[:, None] * window_shift + np.arange(window_size)[None, :])
+    frames = wav[idx]
+    if remove_dc_offset:
+        frames = frames - frames.mean(axis=1, keepdims=True)
+    if preemphasis_coefficient != 0.0:
+        prev = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+        frames = frames - preemphasis_coefficient * prev
+    n = window_size
+    i = np.arange(n, dtype=np.float64)
+    if window_type == "hanning":
+        win = 0.5 - 0.5 * np.cos(2.0 * np.pi * i / (n - 1))
+    elif window_type == "hamming":
+        win = 0.54 - 0.46 * np.cos(2.0 * np.pi * i / (n - 1))
+    elif window_type == "povey":
+        win = (0.5 - 0.5 * np.cos(2.0 * np.pi * i / (n - 1))) ** 0.85
+    elif window_type == "rectangular":
+        win = np.ones(n)
+    elif window_type == "blackman":
+        a = 2.0 * np.pi / (n - 1)
+        win = (blackman_coeff - 0.5 * np.cos(a * i)
+               + (0.5 - blackman_coeff) * np.cos(2.0 * a * i))
+    else:
+        raise ValueError(f"unknown window_type {window_type}")
+    frames = frames * win[None, :]
+    if padded != window_size:
+        frames = np.pad(frames, ((0, 0), (0, padded - window_size)))
+    spectrum = np.abs(np.fft.rfft(frames, axis=1))
+    if use_power:
+        spectrum = spectrum**2
+    fb = kaldi_mel_banks(num_mel_bins, padded, float(sample_frequency),
+                         low_freq, high_freq)
+    mel_energies = spectrum @ fb.T.astype(np.float64)
+    if use_log_fbank:
+        eps = float(np.finfo(np.float32).eps)
+        mel_energies = np.log(np.maximum(mel_energies, eps))
+    return mel_energies.astype(np.float32)
+
+
 def log_mel_spectrogram(x, amin: float = 1e-10, ref: float = 1.0,
                         top_db: float | None = None, **kwargs):
     """10*log10 mel (torchaudio AmplitudeToDB on a power mel)."""

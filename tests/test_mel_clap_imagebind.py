@@ -111,6 +111,87 @@ def test_audio_to_melclips_shape():
     assert clips.shape == (2, 16, 32)
 
 
+def test_clip_start_times_constant_clips_sampler():
+    # pytorchvideo ConstantClipsPerVideoSampler: starts spaced by
+    # max(D - dur, 0)/n, NOT a linspace over [0, D - dur]
+    from sam_audio_tpu.models.imagebind import clip_start_times
+
+    starts = clip_start_times(10.0, 2.0, 3)
+    np.testing.assert_allclose(starts, [0.0, 8.0 / 3.0, 16.0 / 3.0])
+    np.testing.assert_allclose(clip_start_times(1.0, 2.0, 3), [0.0, 0.0, 0.0])
+
+
+def test_kaldi_fbank_frame_count_and_imagebind_shape():
+    from sam_audio_tpu.ops.mel import kaldi_fbank
+
+    wav = np.random.RandomState(0).randn(32000).astype(np.float32)
+    fb = kaldi_fbank(wav, sample_frequency=16000, num_mel_bins=128)
+    # snip_edges framing: 1 + (32000 - 400)//160 = 198 frames (ImageBind then
+    # zero-pads the frame axis to 204)
+    assert fb.shape == (198, 128)
+    assert np.isfinite(fb).all()
+
+
+def test_kaldi_fbank_dc_offset_invariance():
+    from sam_audio_tpu.ops.mel import kaldi_fbank
+
+    rng = np.random.RandomState(1)
+    wav = rng.randn(4000).astype(np.float32)
+    a = kaldi_fbank(wav, sample_frequency=16000, num_mel_bins=32)
+    b = kaldi_fbank(wav + 5.0, sample_frequency=16000, num_mel_bins=32)
+    # remove_dc_offset subtracts the per-frame mean: constant offsets vanish
+    np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_kaldi_fbank_power_log_scaling():
+    from sam_audio_tpu.ops.mel import kaldi_fbank
+
+    rng = np.random.RandomState(2)
+    wav = (rng.randn(4000) * 0.5).astype(np.float32)
+    a = kaldi_fbank(wav, sample_frequency=16000, num_mel_bins=32)
+    b = kaldi_fbank(4.0 * wav, sample_frequency=16000, num_mel_bins=32)
+    # natural log of a POWER spectrum: x4 amplitude -> +2 ln 4 everywhere
+    # (holds wherever the eps floor is not hit; this signal is loud enough)
+    np.testing.assert_allclose(b - a, 2.0 * np.log(4.0), atol=1e-3)
+
+
+def test_kaldi_fbank_tone_peak_and_mel_banks():
+    from sam_audio_tpu.ops.mel import kaldi_fbank, kaldi_mel_banks
+
+    banks = kaldi_mel_banks(40, 512, 16000.0)
+    assert banks.shape == (40, 257)
+    assert (banks >= 0).all()
+    assert banks[:, -1].max() == 0.0  # zero-padded Nyquist column
+    assert (banks.sum(1) > 0).all()
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 1000.0 * t).astype(np.float32)
+    fb = kaldi_fbank(tone, sample_frequency=sr, num_mel_bins=40)
+    peak = fb.mean(0).argmax()
+    # kaldi mel grid between 20 Hz and nyquist: find the bin whose center
+    # is nearest 1 kHz
+    mel = lambda f: 1127.0 * np.log(1.0 + f / 700.0)
+    centers = mel(20.0) + (np.arange(40) + 1) * (mel(8000.0) - mel(20.0)) / 41
+    hz_centers = 700.0 * (np.exp(centers / 1127.0) - 1.0)
+    expected = int(np.abs(hz_centers - 1000.0).argmin())
+    assert abs(int(peak) - expected) <= 1
+
+
+def test_kaldi_fbank_short_input_returns_empty_and_melclips_pad():
+    from sam_audio_tpu.ops.mel import kaldi_fbank
+
+    fb = kaldi_fbank(np.zeros(100, np.float32), sample_frequency=16000,
+                     num_mel_bins=32)
+    assert fb.shape == (0, 32)
+    # a fully-silent short audio: melclips = log(eps) frames + zero padding,
+    # all finite after normalization
+    wav = np.zeros(500, np.float32)
+    clips = audio_to_melclips(wav, TINY_IB)
+    assert clips.shape == (2, 16, 32)
+    assert np.isfinite(clips).all()
+
+
 def test_video_to_clips_shape():
     frames = np.random.RandomState(0).randint(0, 255, (10, 3, 40, 60), np.uint8)
     clips = video_to_clips(frames, TINY_IB)
