@@ -68,6 +68,32 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    ema_params: Any = None
+
+
+def make_lr_schedule(learning_rate: float, schedule: str = "constant",
+                     warmup_steps: int = 0, total_steps: int = 0,
+                     final_lr_ratio: float = 0.0):
+    """Warmup + decay LR schedule. `schedule`: constant | cosine | linear.
+    With warmup_steps=0 and constant, returns the plain float (so existing
+    optimizer states stay bit-identical)."""
+    if schedule == "constant" and warmup_steps == 0:
+        return learning_rate
+    decay_steps = max(total_steps - warmup_steps, 1)
+    end = learning_rate * final_lr_ratio
+    if schedule == "constant":
+        main = optax.constant_schedule(learning_rate)
+    elif schedule == "cosine":
+        main = optax.cosine_decay_schedule(learning_rate, decay_steps,
+                                           alpha=final_lr_ratio)
+    elif schedule == "linear":
+        main = optax.linear_schedule(learning_rate, end, decay_steps)
+    else:
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if warmup_steps == 0:
+        return main
+    warmup = optax.linear_schedule(0.0, learning_rate, warmup_steps)
+    return optax.join_schedules([warmup, main], [warmup_steps])
 
 
 DEFAULT_FROZEN_PREFIXES = ("audio_codec", "text_encoder")
@@ -81,14 +107,18 @@ def _path_str(path) -> str:
 
 
 def make_train_step(cfg: SAMAudioConfig, optimizer: optax.GradientTransformation,
-                    trainable_filter=None):
+                    trainable_filter=None, ema_decay: float = 0.0):
     """Returns train_step(state, batch, rng) -> (state, metrics). Pure —
     compose with jit/pjit at the call site.
 
     trainable_filter(path_str) -> bool freezes params where it returns False.
     Default: the codec and text encoder stay frozen, matching the reference's
     tower policy (reference model.py:346-359 — they load from their own
-    repos and are not trained with the DiT)."""
+    repos and are not trained with the DiT).
+
+    With ema_decay > 0 the state carries an exponential moving average of the
+    *trainable* leaves (frozen leaves alias the live params — no extra HBM),
+    updated as ema = d*ema + (1-d)*p with debiasing left to the caller."""
     if trainable_filter is None:
         def trainable_filter(path: str) -> bool:
             return not path.startswith(DEFAULT_FROZEN_PREFIXES)
@@ -100,6 +130,14 @@ def make_train_step(cfg: SAMAudioConfig, optimizer: optax.GradientTransformation
             grads,
         )
 
+    def update_ema(ema, params):
+        d = ema_decay
+        return jax.tree_util.tree_map_with_path(
+            lambda path, e, p: d * e + (1.0 - d) * p.astype(e.dtype)
+            if trainable_filter(_path_str(path)) else p,
+            ema, params,
+        )
+
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
             return flow_matching_loss(params, cfg, batch, rng)
@@ -109,8 +147,11 @@ def make_train_step(cfg: SAMAudioConfig, optimizer: optax.GradientTransformation
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
+        ema = state.ema_params
+        if ema_decay > 0.0 and ema is not None:
+            ema = update_ema(ema, params)
         return (
-            TrainState(params, opt_state, state.step + 1),
+            TrainState(params, opt_state, state.step + 1, ema),
             {"loss": loss, "grad_norm": gnorm},
         )
 
@@ -126,14 +167,25 @@ class Trainer:
 
     def __init__(self, cfg: SAMAudioConfig, params, mesh=None,
                  learning_rate: float = 1e-4, weight_decay: float = 0.01,
-                 grad_clip: float = 1.0, trainable_filter=None):
+                 grad_clip: float = 1.0, trainable_filter=None,
+                 lr_schedule: str = "constant", warmup_steps: int = 0,
+                 total_steps: int = 0, final_lr_ratio: float = 0.0,
+                 ema_decay: float = 0.0):
         self.cfg = cfg
         self.mesh = mesh
+        self.ema_decay = ema_decay
+        lr = make_lr_schedule(learning_rate, lr_schedule, warmup_steps,
+                              total_steps, final_lr_ratio)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(grad_clip),
-            optax.adamw(learning_rate, weight_decay=weight_decay),
+            optax.adamw(lr, weight_decay=weight_decay),
         )
-        step_fn = make_train_step(cfg, self.optimizer, trainable_filter)
+        if trainable_filter is None:
+            def trainable_filter(path: str) -> bool:
+                return not path.startswith(DEFAULT_FROZEN_PREFIXES)
+        self._trainable_filter = trainable_filter
+        step_fn = make_train_step(cfg, self.optimizer, trainable_filter,
+                                  ema_decay)
 
         if mesh is not None:
             from sam_audio_tpu.parallel.mesh import shard_batch, shard_params
@@ -144,8 +196,14 @@ class Trainer:
             self._shard_batch = lambda b: b
 
         opt_state = jax.jit(self.optimizer.init)(params)
+        ema = None
+        if ema_decay > 0.0:
+            # f32 EMA of trainable leaves; frozen leaves alias live params
+            ema = jax.jit(lambda p: jax.tree_util.tree_map_with_path(
+                lambda path, x: x.astype(jnp.float32)
+                if trainable_filter(_path_str(path)) else x, p))(params)
         self.state = TrainState(params, opt_state,
-                                jnp.zeros((), jnp.int32))
+                                jnp.zeros((), jnp.int32), ema)
         # Under jit, output shardings follow inputs; donate state buffers.
         self._step = jax.jit(step_fn, donate_argnums=(0,))
 
@@ -153,6 +211,37 @@ class Trainer:
         batch = self._shard_batch(batch)
         self.state, metrics = self._step(self.state, batch, rng)
         return metrics
+
+    def ema_inference_params(self):
+        """Params for evaluation: EMA where tracked, live elsewhere, cast back
+        to the live params' dtypes."""
+        if self.state.ema_params is None:
+            return self.state.params
+        return jax.tree_util.tree_map(
+            lambda e, p: e.astype(p.dtype), self.state.ema_params,
+            self.state.params)
+
+    def fit(self, batches, rng, *, eval_fn=None, eval_every: int = 0,
+            log_every: int = 50, log_fn=print):
+        """Drive training over an iterable of batches. `eval_fn(trainer,
+        step)` runs every `eval_every` steps (and once at the end); its dict
+        result is merged into the step metrics history returned."""
+        history = []
+        for i, batch in enumerate(batches):
+            rng, step_rng = jax.random.split(rng)
+            metrics = self.step(batch, step_rng)
+            step = int(self.state.step)
+            if log_every and (i % log_every == 0):
+                log_fn(f"step {step}: loss={float(metrics['loss']):.4f} "
+                       f"grad_norm={float(metrics['grad_norm']):.3f}")
+            rec = {"step": step, "loss": float(metrics["loss"])}
+            if eval_fn is not None and eval_every and step % eval_every == 0:
+                rec.update(eval_fn(self, step) or {})
+            history.append(rec)
+        if eval_fn is not None and history and (
+                not eval_every or history[-1]["step"] % eval_every != 0):
+            history[-1].update(eval_fn(self, int(self.state.step)) or {})
+        return history
 
 
 def synthetic_batch(cfg: SAMAudioConfig, rng: jax.Array, batch_size: int = 2,

@@ -1,0 +1,83 @@
+"""Training-recipe hardening: LR schedules, EMA params, fit/eval hooks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam_audio_tpu.config import tiny_test_config
+from sam_audio_tpu.models.sam_audio import sam_audio_init
+from sam_audio_tpu.train.flow_matching import (
+    Trainer,
+    make_lr_schedule,
+    synthetic_batch,
+)
+
+CFG = tiny_test_config()
+
+
+def test_lr_schedule_shapes():
+    s = make_lr_schedule(1e-3, "cosine", warmup_steps=10, total_steps=110)
+    assert float(s(0)) == 0.0
+    np.testing.assert_allclose(float(s(10)), 1e-3, rtol=1e-6)
+    assert float(s(60)) < 1e-3
+    np.testing.assert_allclose(float(s(110)), 0.0, atol=1e-9)
+
+    lin = make_lr_schedule(1e-3, "linear", warmup_steps=0, total_steps=100,
+                           final_lr_ratio=0.1)
+    np.testing.assert_allclose(float(lin(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(float(lin(100)), 1e-4, rtol=1e-5)
+
+    # plain constant stays a float (bit-identical legacy behavior)
+    assert make_lr_schedule(1e-3) == 1e-3
+
+
+def test_ema_tracks_trainable_and_aliases_frozen():
+    params = sam_audio_init(jax.random.PRNGKey(0), CFG)
+    trainer = Trainer(CFG, params, learning_rate=3e-3, ema_decay=0.5)
+    p0 = jax.tree_util.tree_map(lambda x: np.asarray(x),
+                                trainer.state.params)
+    batch = synthetic_batch(CFG, jax.random.PRNGKey(1), batch_size=2,
+                            t_frames=8)
+    for _ in range(3):
+        trainer.step(batch, jax.random.PRNGKey(2))
+
+    ema = trainer.state.ema_params
+    live = trainer.state.params
+    # frozen towers: EMA leaf is the live param (no separate buffer)
+    np.testing.assert_array_equal(
+        np.asarray(ema["audio_codec"]["in_proj"]["weight"]),
+        np.asarray(live["audio_codec"]["in_proj"]["weight"]))
+    # trainable: EMA lags the live params but has moved from init
+    w_live = np.asarray(live["transformer"]["layers"]["attention"]["wq"]["weight"])
+    w_ema = np.asarray(ema["transformer"]["layers"]["attention"]["wq"]["weight"])
+    w_init = np.asarray(p0["transformer"]["layers"]["attention"]["wq"]["weight"])
+    assert not np.allclose(w_ema, w_init)
+    assert not np.allclose(w_ema, w_live)
+    # ema decay 0.5 after 3 steps: ema closer to live than to init
+    assert np.abs(w_ema - w_live).mean() < np.abs(w_ema - w_init).mean()
+
+    inf = trainer.ema_inference_params()
+    assert inf["transformer"]["layers"]["attention"]["wq"]["weight"].dtype == \
+        live["transformer"]["layers"]["attention"]["wq"]["weight"].dtype
+
+
+def test_fit_loop_with_eval_hook():
+    params = sam_audio_init(jax.random.PRNGKey(0), CFG)
+    trainer = Trainer(CFG, params, learning_rate=3e-3, lr_schedule="cosine",
+                      warmup_steps=2, total_steps=10)
+    batch = synthetic_batch(CFG, jax.random.PRNGKey(1), batch_size=2,
+                            t_frames=8)
+    evals = []
+
+    def eval_fn(tr, step):
+        evals.append(step)
+        return {"val_metric": 1.0}
+
+    logs = []
+    history = trainer.fit([batch] * 6, jax.random.PRNGKey(0), eval_fn=eval_fn,
+                          eval_every=3, log_every=2, log_fn=logs.append)
+    assert [h["step"] for h in history] == [1, 2, 3, 4, 5, 6]
+    assert evals == [3, 6]
+    assert "val_metric" in history[2] and "val_metric" in history[5]
+    assert len(logs) == 3  # steps 1, 3, 5 (i = 0, 2, 4)
+    assert all(np.isfinite(h["loss"]) for h in history)
