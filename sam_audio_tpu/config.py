@@ -85,6 +85,12 @@ class PerceptionEncoderConfig:
     vit_heads: int = 16
     mlp_ratio: float = 4.0
     use_cls_token: bool = True
+    # PE-Core applies parameter-free axial 2D RoPE inside self-attention
+    # (invisible to checkpoint key sniffing — rope buffers are skipped at
+    # conversion). Off by default to keep structural-tower goldens stable;
+    # flip on when loading real PE-Core weights.
+    use_rope2d: bool = False
+    rope2d_theta: float = 10000.0
 
 
 @dataclass(frozen=True)

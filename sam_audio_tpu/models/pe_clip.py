@@ -121,12 +121,24 @@ def encode_images(params, x: jnp.ndarray, cfg: PerceptionEncoderConfig,
     if "ln_pre" in params:
         h = N.layernorm(params["ln_pre"], h)
 
+    rope_cs = None
+    if cfg.use_rope2d:
+        from sam_audio_tpu.ops.rope import apply_rope, precompute_rope_2d
+
+        rope_cs = precompute_rope_2d(
+            hd, cfg.image_size // cfg.patch_size, cfg.rope2d_theta,
+            n_prefix_tokens=1 if cfg.use_cls_token else 0,
+        )
+
     def body(carry, layer):
         hc = carry
         y = N.layernorm(layer["ln1"], hc)
         q = N.linear(layer["attn"]["wq"], y, compute_dtype).reshape(n, -1, heads, hd)
         k = N.linear(layer["attn"]["wk"], y, compute_dtype).reshape(n, -1, heads, hd)
         v = N.linear(layer["attn"]["wv"], y, compute_dtype).reshape(n, -1, heads, hd)
+        if rope_cs is not None:
+            q = apply_rope(q, *rope_cs)
+            k = apply_rope(k, *rope_cs)
         o = attend(q, k, v).reshape(n, -1, w)
         hc = hc + N.linear(layer["attn"]["wo"], o, compute_dtype)
         y = N.layernorm(layer["ln2"], hc)

@@ -59,6 +59,69 @@ def precompute_rope(
     )
 
 
+def rope_deinterleave_perm(head_dim: int) -> np.ndarray:
+    """Channel permutation that moves interleaved rotary pairs (2i, 2i+1)
+    to split halves (i, i + D/2). Applying this to the OUTPUT channels of the
+    q/k projections (per head) at load time lets the hot path use
+    `apply_rope_half` — two aligned half-width multiplies instead of
+    stride-2 gathers + re-interleaving, which cost lane relayouts on TPU.
+    Attention scores are exactly invariant because q and k are permuted
+    identically (checkpoint.deinterleave_qk_heads)."""
+    return np.concatenate([np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)])
+
+
+def apply_rope_half(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate split-half rotary pairs: channels (i, i + D/2) by angle[i].
+
+    Numerically identical to `apply_rope` on channels permuted by
+    `rope_deinterleave_perm`. x: (B, S, H, D); cos/sin: (S', D/2)."""
+    seqlen = x.shape[-3]
+    d_half = x.shape[-1] // 2
+    c = cos[:seqlen].astype(jnp.float32)[:, None, :]
+    s = sin[:seqlen].astype(jnp.float32)[:, None, :]
+    xf = x.astype(jnp.float32)
+    x1 = xf[..., :d_half]
+    x2 = xf[..., d_half:]
+    out = jnp.concatenate([x1 * c - x2 * s, x1 * s + x2 * c], axis=-1)
+    return out.astype(x.dtype)
+
+
+def precompute_rope_2d(
+    head_dim: int,
+    grid: int,
+    theta: float = 10000.0,
+    n_prefix_tokens: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Axial 2D RoPE tables for a (grid x grid) patch lattice (PE-Core vision
+    attention; parameter-free, so invisible in checkpoints).
+
+    The head dim splits in half: pairs in the first half rotate with the x
+    coordinate, pairs in the second half with the y coordinate, each using the
+    standard 1D frequency ladder over head_dim/2. Prefix tokens (e.g. CLS) get
+    angle 0 — the identity rotation.
+
+    Returns (cos, sin), each (n_prefix_tokens + grid*grid, head_dim // 2).
+    """
+    d_half = head_dim // 2  # per-axis rotary dim
+    freqs = 1.0 / (
+        theta ** (np.arange(0, d_half, 2).astype(np.float64) / d_half)
+    )  # (d_half/2,)
+    pos = np.arange(grid, dtype=np.float64)
+    ang = np.outer(pos, freqs)  # (grid, d_half/2)
+    # token (y, x) -> angles: [x-axis ladder | y-axis ladder]
+    ang_x = np.tile(ang[None, :, :], (grid, 1, 1))  # (y, x, f)
+    ang_y = np.tile(ang[:, None, :], (1, grid, 1))
+    angles = np.concatenate([ang_x, ang_y], axis=-1).reshape(grid * grid, -1)
+    if n_prefix_tokens:
+        angles = np.concatenate(
+            [np.zeros((n_prefix_tokens, angles.shape[1])), angles], axis=0
+        )
+    return (
+        jnp.asarray(np.cos(angles), dtype=jnp.float32),
+        jnp.asarray(np.sin(angles), dtype=jnp.float32),
+    )
+
+
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Apply rotary embedding.
 

@@ -63,3 +63,20 @@ def test_llama3_scaling_path():
     cos1, sin1 = precompute_rope(8, 16, 10000.0, scale_factor=1)
     cos2, sin2 = precompute_rope(8, 16, 10000.0, scale_factor=8)
     assert not np.allclose(np.asarray(cos1), np.asarray(cos2))
+
+
+def test_apply_rope_half_matches_interleaved_via_permutation():
+    from sam_audio_tpu.ops.rope import (
+        apply_rope,
+        apply_rope_half,
+        precompute_rope,
+        rope_deinterleave_perm,
+    )
+
+    b, s, h, d = 2, 16, 3, 8
+    cos, sin = precompute_rope(d, s, theta=10000.0)
+    x = jnp.asarray(np.random.RandomState(0).randn(b, s, h, d), jnp.float32)
+    perm = rope_deinterleave_perm(d)
+    ref = np.asarray(apply_rope(x, cos, sin))[..., perm]
+    got = np.asarray(apply_rope_half(np.asarray(x)[..., perm], cos, sin))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)

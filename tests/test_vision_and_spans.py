@@ -38,6 +38,40 @@ def test_encode_images_normalized():
     np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0, rtol=1e-4)
 
 
+def test_rope2d_tables_and_encode():
+    from sam_audio_tpu.ops.rope import apply_rope, precompute_rope_2d
+
+    hd = 8  # head dim: 4 x-pairs? no — d_half=4 angles/token (2 x + 2 y)
+    cos, sin = precompute_rope_2d(hd, grid=2, n_prefix_tokens=1)
+    assert cos.shape == (5, 4) and sin.shape == (5, 4)
+    # prefix (CLS) token: identity rotation
+    np.testing.assert_allclose(np.asarray(cos[0]), 1.0)
+    np.testing.assert_allclose(np.asarray(sin[0]), 0.0)
+    # token (y=0,x=0) also rotates by 0; (y=1,x=1) has max angles
+    np.testing.assert_allclose(np.asarray(sin[1]), 0.0, atol=1e-12)
+    assert np.any(np.asarray(sin[4]) != 0.0)
+    # rotation preserves norms
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 5, 2, hd), jnp.float32)
+    y = apply_rope(x, cos, sin)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(y), axis=-1),
+        np.linalg.norm(np.asarray(x), axis=-1), rtol=1e-5)
+    # axial structure: tokens sharing an x coordinate share the x half of the
+    # angle ladder. grid order is row-major (y, x): tokens 1..4 = (0,0),(0,1),
+    # (1,0),(1,1); token 2=(0,1) and 4=(1,1) share x=1.
+    d4 = hd // 4
+    np.testing.assert_allclose(np.asarray(cos[2, :d4]), np.asarray(cos[4, :d4]))
+
+    # the config switch changes outputs but keeps them normalized
+    cfg2 = PerceptionEncoderConfig(**{**VCFG.__dict__, "use_rope2d": True})
+    params = pe_clip_init(jax.random.PRNGKey(0), VCFG)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 3, 28, 28).astype(np.float32))
+    base = np.asarray(encode_images(params, x, VCFG))
+    roped = np.asarray(encode_images(params, x, cfg2))
+    np.testing.assert_allclose(np.linalg.norm(roped, axis=-1), 1.0, rtol=1e-4)
+    assert np.abs(base - roped).max() > 1e-4
+
+
 def test_perception_encoder_chunking_and_padding():
     enc = PerceptionEncoder.init_random(jax.random.PRNGKey(0), VCFG)
     videos = [
