@@ -90,54 +90,56 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         jnp.float32,
     )
 
-    # On relay-attached TPU backends block_until_ready may not block; force a
-    # device->host scalar fetch to synchronize timing.
-    checksum = jax.jit(lambda w: jnp.sum(w[:, ::7919].astype(jnp.float32)))
-
+    # ONE fused XLA program per request: encode -> ODE -> decode k targets ->
+    # on-device candidate selection (energy-argmax stand-in) -> lazy residual
+    # decode of the winner. Nested jits inline, so this is a single dispatch —
+    # the relay-attached backend pays ~25 ms per dispatch, so collapsing the
+    # 4-program pipeline into one is a direct latency win.
     @partial(jax.jit, static_argnames=())
-    def rank_and_finish(latents, targets):
-        # on-device candidate selection stand-in (energy argmax) + lazy
-        # residual decode of the winners only
-        energy = jnp.sum(jnp.square(targets), axis=-1).reshape(batch, candidates)
-        idxs = jnp.argmax(energy, axis=-1).astype(jnp.int32)
-        chosen = gather_candidates(latents, idxs, cfg=cfg,
-                                   candidates=candidates)
-        residual = decode_channel(params, chosen, cfg=cfg, channel=1)
-        return residual
-
-    def run():
-        if preview_nfe:
-            # preview-NFE reranking: cheap candidate solves, full solve for
-            # the winner (separate(preview_nfe=...) opt-in mode)
-            preview = separate_latents(
-                params, audios, text_ids, text_mask, anchor_ids,
-                anchor_alignment, audio_pad_mask, noise, None,
-                cfg=cfg, candidates=candidates, use_video=False,
-                ode_step_size=2.0 / preview_nfe,
-            )
-            targets_prev = decode_channel(params, preview, cfg=cfg, channel=0)
-            energy = jnp.sum(jnp.square(targets_prev), axis=-1).reshape(
-                batch, candidates)
-            idxs = jnp.argmax(energy, axis=-1).astype(jnp.int32)
-            chosen_noise = gather_candidates(noise, idxs, cfg=cfg,
-                                             candidates=candidates)
-            chosen = separate_latents(
-                params, audios, text_ids, text_mask, anchor_ids,
-                anchor_alignment, audio_pad_mask, chosen_noise, None,
-                cfg=cfg, candidates=1, use_video=False,
-            )
-            targets = decode_channel(params, chosen, cfg=cfg, channel=0)
-            residual = decode_channel(params, chosen, cfg=cfg, channel=1)
-            float(checksum(residual))
-            return targets, residual
+    def step(params, noise):
         latents = separate_latents(
             params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
             audio_pad_mask, noise, None,
             cfg=cfg, candidates=candidates, use_video=False,
         )
         targets = decode_channel(params, latents, cfg=cfg, channel=0)
-        residual = rank_and_finish(latents, targets)
-        float(checksum(residual))  # sync point
+        energy = jnp.sum(jnp.square(targets), axis=-1).reshape(batch, candidates)
+        idxs = jnp.argmax(energy, axis=-1).astype(jnp.int32)
+        chosen = gather_candidates(latents, idxs, cfg=cfg,
+                                   candidates=candidates)
+        residual = decode_channel(params, chosen, cfg=cfg, channel=1)
+        # block_until_ready may not block on relay backends; return a scalar
+        # checksum for a host fetch that does.
+        return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
+
+    @partial(jax.jit, static_argnames=())
+    def step_preview(params, noise):
+        # preview-NFE reranking: cheap candidate solves, full solve for
+        # the winner (separate(preview_nfe=...) opt-in mode)
+        preview = separate_latents(
+            params, audios, text_ids, text_mask, anchor_ids,
+            anchor_alignment, audio_pad_mask, noise, None,
+            cfg=cfg, candidates=candidates, use_video=False,
+            ode_step_size=2.0 / preview_nfe,
+        )
+        targets_prev = decode_channel(params, preview, cfg=cfg, channel=0)
+        energy = jnp.sum(jnp.square(targets_prev), axis=-1).reshape(
+            batch, candidates)
+        idxs = jnp.argmax(energy, axis=-1).astype(jnp.int32)
+        chosen_noise = gather_candidates(noise, idxs, cfg=cfg,
+                                         candidates=candidates)
+        chosen = separate_latents(
+            params, audios, text_ids, text_mask, anchor_ids,
+            anchor_alignment, audio_pad_mask, chosen_noise, None,
+            cfg=cfg, candidates=1, use_video=False,
+        )
+        targets = decode_channel(params, chosen, cfg=cfg, channel=0)
+        residual = decode_channel(params, chosen, cfg=cfg, channel=1)
+        return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
+
+    def run():
+        targets, residual, csum = (step_preview if preview_nfe else step)(params, noise)
+        float(csum)  # sync point
         return targets, residual
 
     t0 = time.time()

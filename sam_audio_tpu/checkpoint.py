@@ -163,21 +163,48 @@ def permute_attention_heads(weight: np.ndarray, n_heads: int) -> np.ndarray:
     )
 
 
-def _attention(sd, prefix, n_heads, qk_norm=True):
+def deinterleave_qk_heads(x: np.ndarray, n_heads: int) -> np.ndarray:
+    """Permute per-head channels so interleaved rotary pairs (2i, 2i+1) land
+    on split halves (i, i+D/2) — the layout `ops.rope.apply_rope_half`
+    expects. Applied identically to q and k (projection rows, biases, and
+    qk-norm weights), so attention scores are exactly unchanged while the
+    hot path avoids stride-2 lane relayouts. x: (H*D, ...) or (H*D,)."""
+    from sam_audio_tpu.ops.rope import rope_deinterleave_perm
+
+    out_dim = x.shape[0]
+    d = out_dim // n_heads
+    perm = rope_deinterleave_perm(d)
+    xh = x.reshape(n_heads, d, *x.shape[1:])
+    return xh[:, perm].reshape(x.shape)
+
+
+def _attention(sd, prefix, n_heads, qk_norm=True, rope_deinterleave=False):
     p = {}
     for name in ("wq", "wk", "wv"):
-        w = np.asarray(_get(sd, f"{prefix}.{name}"))
-        p[name] = {"weight": jnp.asarray(permute_attention_heads(w, n_heads))}
+        w = permute_attention_heads(np.asarray(_get(sd, f"{prefix}.{name}")),
+                                    n_heads)
+        if rope_deinterleave and name in ("wq", "wk"):
+            w = deinterleave_qk_heads(w, n_heads)
+        p[name] = {"weight": jnp.asarray(w)}
         if f"{prefix}.{name}.bias" in sd:
             b = np.asarray(sd[f"{prefix}.{name}.bias"])
             d = b.shape[0] // n_heads
-            p[name]["bias"] = jnp.asarray(
-                b.reshape(d, n_heads).T.reshape(-1)
-            )
+            b = b.reshape(d, n_heads).T.reshape(-1)
+            if rope_deinterleave and name in ("wq", "wk"):
+                b = deinterleave_qk_heads(b, n_heads)
+            p[name]["bias"] = jnp.asarray(b)
     p["wo"] = _linear(sd, f"{prefix}.wo")
     if qk_norm and f"{prefix}.q_norm.weight" in sd:
         p["q_norm"] = _norm(sd, f"{prefix}.q_norm")
         p["k_norm"] = _norm(sd, f"{prefix}.k_norm")
+        if rope_deinterleave:
+            # qk-norm weights are per head-dim channel: permute to match
+            for nm in ("q_norm", "k_norm"):
+                w = np.asarray(p[nm]["weight"])
+                d = w.shape[0]
+                from sam_audio_tpu.ops.rope import rope_deinterleave_perm
+
+                p[nm]["weight"] = jnp.asarray(w[rope_deinterleave_perm(d)])
     return p
 
 
@@ -217,8 +244,10 @@ def convert_dit(sd: Dict[str, np.ndarray], cfg, prefix="transformer"):
         lp = f"{prefix}.layers.{i}"
         layers.append(
             {
+                # self-attention carries RoPE: deinterleave q/k for the
+                # split-half rotary hot path (exactness-preserving)
                 "attention": _attention(sd, f"{lp}.attention", cfg.n_heads,
-                                        cfg.qk_norm),
+                                        cfg.qk_norm, rope_deinterleave=True),
                 "cross_attention": _attention(sd, f"{lp}.cross_attention",
                                               cfg.n_heads, cfg.qk_norm),
                 "feed_forward": _projection(sd, f"{lp}.feed_forward"),

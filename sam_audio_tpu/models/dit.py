@@ -26,7 +26,7 @@ from sam_audio_tpu.config import TransformerConfig
 from sam_audio_tpu.ops import conv as C
 from sam_audio_tpu.ops import nn as N
 from sam_audio_tpu.ops.attention import attend
-from sam_audio_tpu.ops.rope import apply_rope, precompute_rope
+from sam_audio_tpu.ops.rope import apply_rope_half, precompute_rope
 
 
 # ---------------------------------------------------------------------------
@@ -69,9 +69,12 @@ def attention_apply(params, x, *, n_heads, n_kv_heads, head_dim, cross_x=None,
         q = N.rmsnorm(params["q_norm"], q, norm_eps)
         k = N.rmsnorm(params["k_norm"], k, norm_eps)
     if rope_tables is not None:
+        # split-half rotary (q/k projection channels are deinterleaved at
+        # init/conversion time — checkpoint.deinterleave_qk_heads): aligned
+        # half-width multiplies instead of stride-2 lane relayouts
         cos, sin = rope_tables
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        q = apply_rope_half(q, cos, sin)
+        k = apply_rope_half(k, cos, sin)
     if n_kv_heads != n_heads:
         rep = n_heads // n_kv_heads
         k = jnp.repeat(k, rep, axis=2)

@@ -2,16 +2,24 @@
 
 The codec decoder dominates separation latency after the DiT: its residual
 units (snake -> dilated k7 conv -> snake -> k1 conv -> add) run at 48 kHz
-sample rate with narrow channels (96-768), where unfused XLA ops are HBM
-bandwidth-bound (each op re-reads/writes ~1.5 GB activations per stage at
-k=8). This kernel computes an ENTIRE residual unit per tile in VMEM: the
-activation tile is read from HBM once and written once — a ~5x traffic
-reduction — with the convolution expressed as 7 shifted (C_out, C_in) @
-(C_in, T_tile) MXU matmuls accumulated in fp32.
+sample rate with narrow channels (96-768). Measured on v5e (k=8-equivalent
+B=9, 10 s): XLA runs one C=96/T=480k unit in ~60 ms and one C=192/T=240k unit
+in ~70 ms — each of the 5 ops in the chain round-trips the ~0.8 GB activation
+through HBM, and the standalone Snake alone costs ~12 ms (sin is ~20+ VPU ops
+per element).
 
-Layout: (B, C, T) with T on lanes (always 128-aligned tiles) and C on
-sublanes. Dilated halos are handled by pre-padding T and streaming
-overlapping tiles via manual async DMA (BlockSpecs can't express overlap).
+This kernel computes an ENTIRE residual unit per (batch, time-tile) grid step
+in VMEM: the tile is read from HBM once and written once, the dilated k7 conv
+is 7 accumulating (C_out, C_in) @ (C_in, T_tile) MXU matmuls on shifted
+in-VMEM views, and both Snakes run on-tile. Halos come from THREE pipelined
+views of the same input (prev/current/next tile) — plain BlockSpecs, so
+Mosaic double-buffers the streams automatically (the round-1 kernel's manual
+start();wait() DMA serialized every tile and lost to XLA).
+
+Layout: (B, C, T) — the decoder's native layout — with T on lanes
+(tiles are 128-aligned) and C on sublanes (96/192 are sublane-aligned for
+bf16). Zero-padding conv semantics at the sequence edges are reproduced by
+masking the halo at the first/last tile and by right-padding T with zeros.
 """
 
 from __future__ import annotations
@@ -24,116 +32,106 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _round_up128(x: int) -> int:
-    return (x + 127) // 128 * 128
+def _snake_f32(x32, alpha):
+    """x + sin^2(alpha x)/alpha in f32 (models/dacvae.py Snake numerics)."""
+    return x32 + (1.0 / (alpha + 1e-9)) * jnp.square(jnp.sin(alpha * x32))
 
 
-def _res_unit_kernel(x_hbm, w7_ref, b7_ref, w1_ref, b1_ref, a1_ref, a2_ref,
-                     out_ref, x_vmem, cat_vmem, sem, *, dilation: int,
-                     block_t: int, kernel_size: int):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    c = out_ref.shape[1]
-    pad = (kernel_size - 1) * dilation // 2
-    # DMA slices must be 128-aligned on the minor dim; the input is pre-padded
-    # so every load window [i*block_t, i*block_t + load_t) is in bounds.
-    load_t = _round_up128(block_t + 2 * pad)
+def _res_unit_kernel(xl_ref, xc_ref, xr_ref, w7_ref, b7_ref, w1_ref, b1_ref,
+                     a1_ref, a2_ref, out_ref, *, dilation: int,
+                     kernel_size: int, out_dtype):
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+    halo = (kernel_size - 1) * dilation // 2
+    tile = xc_ref.shape[-1]
 
-    cp = pltpu.make_async_copy(
-        x_hbm.at[b, :, pl.ds(i * block_t, load_t)],
-        x_vmem,
-        sem,
-    )
-    cp.start()
-    cp.wait()
+    xc = xc_ref[0]                                   # (C, tile) bf16
+    left = xl_ref[0][:, tile - halo:]
+    right = xr_ref[0][:, :halo]
+    # zero-padding conv semantics at the sequence boundary
+    left = jnp.where(t == 0, jnp.zeros_like(left), left)
+    right = jnp.where(t == n_t - 1, jnp.zeros_like(right), right)
+    xw = jnp.concatenate([left, xc, right], axis=1)  # (C, tile + 2*halo)
 
-    xf = x_vmem[...].astype(jnp.float32)
-    a1 = a1_ref[...].astype(jnp.float32)  # (C, 1)
-    h = xf + (1.0 / (a1 + 1e-9)) * jnp.square(jnp.sin(a1 * xf))
-
-    # im2col: one (C, K*C) @ (K*C, block_t) MXU matmul instead of K small-K
-    # matmuls. Tap shifts use pltpu.roll (hardware lane rotation, fp32-only)
-    # followed by an ALIGNED slice — misaligned lane slices are
-    # compile-pathological in Mosaic.
-    for j in range(kernel_size):
-        # left-shift by j*dilation == right-roll by (load_t - j*dilation)
-        shifted = pltpu.roll(h, load_t - j * dilation, 1) if j else h
-        cat_vmem[j * c : (j + 1) * c, :] = shifted[:, :block_t].astype(
-            cat_vmem.dtype
-        )
-    acc = jax.lax.dot(w7_ref[...], cat_vmem[...],
-                      preferred_element_type=jnp.float32)
-    acc += b7_ref[...].astype(jnp.float32)  # (C, 1) broadcast
-
+    a1 = a1_ref[...].astype(jnp.float32)             # (C, 1)
     a2 = a2_ref[...].astype(jnp.float32)
-    h2 = acc + (1.0 / (a2 + 1e-9)) * jnp.square(jnp.sin(a2 * acc))
+    s1 = _snake_f32(xw.astype(jnp.float32), a1).astype(xc.dtype)
 
-    out = jax.lax.dot(
-        w1_ref[...], h2.astype(w1_ref.dtype), preferred_element_type=jnp.float32
-    )
-    out += b1_ref[...].astype(jnp.float32)
-    out += xf[:, pad : pad + block_t]
-    out_ref[0] = out.astype(out_ref.dtype)
+    # dilated k7 conv == 7 accumulating MXU matmuls on shifted views
+    acc = jnp.broadcast_to(b7_ref[...].astype(jnp.float32),
+                           (xc.shape[0], tile))
+    for j in range(kernel_size):
+        acc = acc + jax.lax.dot(
+            w7_ref[j], s1[:, j * dilation: j * dilation + tile],
+            preferred_element_type=jnp.float32,
+        )
+    # match the XLA path: conv output materializes in bf16 before snake2
+    h = acc.astype(xc.dtype)
+
+    s2 = _snake_f32(h.astype(jnp.float32), a2).astype(xc.dtype)
+    out = jax.lax.dot(w1_ref[...], s2, preferred_element_type=jnp.float32)
+    out = out + b1_ref[...].astype(jnp.float32)
+    out = out + xc.astype(jnp.float32)
+    out_ref[0] = out.astype(out_dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("dilation", "block_t", "kernel_size",
                                     "interpret"))
-def _fused_res_unit_padded(x, w7_flat, b7, w1, b1, alpha1, alpha2, *,
+def _fused_res_unit_padded(x, w7, b7, w1, b1, alpha1, alpha2, *,
                            dilation: int, block_t: int, kernel_size: int,
                            interpret: bool):
-    """x: (B, C, T) with T % block_t == 0; w7_flat: (C, K*C) with
-    w7_flat[:, j*C:(j+1)*C] = W7[:, :, j]. Returns (B, C, T)."""
+    """x: (B, C, T); w7: (K, C_out, C_in). Returns (B, C, T)."""
     b, c, t = x.shape
     k = kernel_size
-    pad = (k - 1) * dilation // 2
-    load_t = _round_up128(block_t + 2 * pad)
-    # left pad: halo; right pad: halo + alignment slack for the last tile
-    right = (load_t - block_t) - pad
-    x_padded = jnp.pad(x, [(0, 0), (0, 0), (pad, right)])
+    n_t = -(-t // block_t)
+    t_pad = n_t * block_t
+    if t_pad != t:
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, t_pad - t)])
 
     kernel = functools.partial(_res_unit_kernel, dilation=dilation,
-                               block_t=block_t, kernel_size=k)
-    grid = (b, t // block_t)
-    return pl.pallas_call(
+                               kernel_size=k, out_dtype=x.dtype)
+    view = lambda off: pl.BlockSpec(
+        (1, c, block_t),
+        lambda b_, i, off=off: (b_, 0, jnp.clip(i + off, 0, n_t - 1)),
+    )
+    const = lambda *shape: pl.BlockSpec(shape, lambda b_, i: (0,) * len(shape))
+    out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(b, n_t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),  # x stays in HBM; manual DMA
-            pl.BlockSpec((c, k * c), lambda b_, i: (0, 0)),
-            pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
-            pl.BlockSpec((c, c), lambda b_, i: (0, 0)),
-            pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
-            pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
-            pl.BlockSpec((c, 1), lambda b_, i: (0, 0)),
+            view(-1), view(0), view(+1),
+            const(k, c, c),   # w7
+            const(c, 1),      # b7
+            const(c, c),      # w1
+            const(c, 1),      # b1
+            const(c, 1),      # alpha1
+            const(c, 1),      # alpha2
         ],
         out_specs=pl.BlockSpec((1, c, block_t), lambda b_, i: (b_, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((b, c, t), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((c, load_t), x.dtype),
-            pltpu.VMEM((k * c, block_t), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((b, c, t_pad), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(x_padded, w7_flat, b7, w1, b1, alpha1, alpha2)
+    )(x, x, x, w7, b7, w1, b1, alpha1, alpha2)
+    return out[:, :, :t] if t_pad != t else out
 
 
 def _pick_block_t(c: int, t: int, k: int = 7) -> int:
-    """Largest 128-aligned tile dividing t that keeps VMEM under ~10 MB."""
+    """128-aligned time tile: big enough to amortize per-program cost, small
+    enough that 3 double-buffered views + f32 intermediates fit VMEM (and no
+    bigger than the padded sequence itself)."""
+    budget = 6 * 1024 * 1024
+    t_ceil = -(-t // 128) * 128
     best = 0
-    for mult in range(1, 33):  # tiles up to 4096
+    for mult in (1, 2, 4, 8, 12, 15, 16, 24, 30):
         bt = 128 * mult
-        if t % bt != 0:
-            continue
-        # x tile + im2col scratch (bf16) + fp32 acc + weights (bf16);
-        # leave headroom for Mosaic's double-buffered in/out blocks within
-        # the 16 MB scoped-vmem limit
-        vmem = (c * (bt + 256) * 2 + k * c * bt * 2 + c * bt * 4 * 2
-                + (k + 1) * c * c * 2)
-        if vmem < 6 * 1024 * 1024:
+        if bt > t_ceil and best:
+            break
+        # 3 views + out, double-buffered, bf16 + ~3 f32 tile temporaries
+        vmem = 4 * 2 * c * bt * 2 + 3 * c * bt * 4 + (k + 1) * c * c * 2
+        if vmem <= budget:
             best = bt
     return best
 
@@ -143,19 +141,25 @@ def fused_residual_unit(params, x, dilation: int, compute_dtype=jnp.bfloat16,
     """Drop-in replacement for models.dacvae._residual_unit_apply.
 
     params: {snake1.alpha, conv1.{weight,bias}, snake2.alpha, conv2.{weight,bias}}
-    x: (B, C, T). Falls back to None (caller uses the XLA path) when the
-    shape doesn't tile; returns the output array otherwise.
+    x: (B, C, T). Returns None when the shape isn't eligible (caller falls
+    back to the XLA path): C must be bf16-sublane aligned (C % 16 == 0) and
+    T big enough to be worth tiling.
     """
     b, c, t = x.shape
     k = params["conv1"]["weight"].shape[-1]
-    block_t = _pick_block_t(c, t)
-    if block_t == 0 or c % 8 != 0:
+    block_t = _pick_block_t(c, t, k)
+    sublane = 16 if jnp.dtype(compute_dtype) == jnp.bfloat16 else 8
+    if c % sublane != 0 or block_t == 0:
         return None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    w7 = params["conv1"]["weight"].astype(compute_dtype)  # (C, C, K)
-    # flatten taps into the contraction dim: (C, K*C), tap-major columns
-    w7_flat = jnp.transpose(w7, (0, 2, 1)).reshape(c, k * c)
+        if not interpret and t < 16384:
+            # narrow-time blocks (the codec's early-decoder/late-encoder
+            # stages) stay on XLA: measured v5e crossover is in the tens of
+            # thousands of samples (see module docstring)
+            return None
+    w7 = jnp.transpose(params["conv1"]["weight"], (2, 0, 1)).astype(
+        compute_dtype)                                     # (K, C_out, C_in)
     b7 = params["conv1"].get("bias",
                              jnp.zeros((c,), jnp.float32)).reshape(c, 1)
     w1 = params["conv2"]["weight"][:, :, 0].astype(compute_dtype)  # (C, C)
@@ -164,6 +168,6 @@ def fused_residual_unit(params, x, dilation: int, compute_dtype=jnp.bfloat16,
     a1 = params["snake1"]["alpha"].reshape(c, 1)
     a2 = params["snake2"]["alpha"].reshape(c, 1)
     return _fused_res_unit_padded(
-        x.astype(compute_dtype), w7_flat, b7, w1, b1, a1, a2,
+        x.astype(compute_dtype), w7, b7, w1, b1, a1, a2,
         dilation=dilation, block_t=block_t, kernel_size=k, interpret=interpret,
     )

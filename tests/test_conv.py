@@ -93,3 +93,28 @@ def test_fold_weight_norm_matches_torch():
     v = wn.weight_v.detach().numpy()
     folded = to_np(C.fold_weight_norm(jnp.asarray(g), jnp.asarray(v)))
     np.testing.assert_allclose(folded, w, rtol=1e-5, atol=1e-6)
+
+
+def test_fast_snake_matches_exact():
+    # polynomial sin^2 path (used for bf16 inputs on the TPU hot path) vs the
+    # exact-sin formula, across a wide activation/alpha range incl. torch
+    # cross-check of the exact path
+    rng = np.random.RandomState(0)
+    c = 8
+    alpha = np.abs(rng.randn(1, c, 1)).astype(np.float32) * 3 + 0.01
+    x = (rng.randn(2, c, 4096) * 20).astype(np.float32)
+    params = {"alpha": jnp.asarray(alpha)}
+    exact = to_np(C.snake(params, jnp.asarray(x), fast=False))
+    fast = to_np(C.snake(params, jnp.asarray(x), fast=True))
+    np.testing.assert_allclose(fast, exact, rtol=1e-4, atol=5e-4)
+    theirs = (torch.from_numpy(x)
+              + (1.0 / (torch.from_numpy(alpha) + 1e-9))
+              * torch.sin(torch.from_numpy(alpha) * torch.from_numpy(x)) ** 2)
+    np.testing.assert_allclose(exact, theirs.numpy(), rtol=1e-4, atol=1e-4)
+
+    # bf16 inputs default to the fast path and stay within a bf16 ulp of the
+    # exact computation
+    xb = jnp.asarray(x, jnp.bfloat16)
+    auto = to_np(C.snake(params, xb).astype(jnp.float32))
+    ref = to_np(C.snake(params, xb, fast=False).astype(jnp.float32))
+    np.testing.assert_allclose(auto, ref, rtol=1e-2, atol=0.2)
