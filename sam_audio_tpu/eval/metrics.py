@@ -66,12 +66,19 @@ class Aesthetic:
 
     def __init__(self, checkpoint: Optional[str] = None, model=None):
         if model is None:
-            from sam_audio_tpu.models.aesthetics import AesPredictor
+            if checkpoint and checkpoint.endswith((".pt", ".pth", ".ckpt")):
+                # real audiobox-aesthetics torch checkpoint: WavLM tower +
+                # per-axis heads (models/aesthetics.AudioboxAesthetics)
+                from sam_audio_tpu.models.aesthetics import AudioboxAesthetics
 
-            if checkpoint:
-                model = AesPredictor.from_pretrained(checkpoint)
+                model = AudioboxAesthetics.from_torch_checkpoint(checkpoint)
             else:
-                model = AesPredictor.init_random(jax.random.PRNGKey(0))
+                from sam_audio_tpu.models.aesthetics import AesPredictor
+
+                if checkpoint:
+                    model = AesPredictor.from_pretrained(checkpoint)
+                else:
+                    model = AesPredictor.init_random(jax.random.PRNGKey(0))
         self.model = model
 
     def __call__(self, target_wavs, target_wavs_sample_rate: int = 48_000,
