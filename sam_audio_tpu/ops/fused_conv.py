@@ -32,14 +32,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _snake_f32(x32, alpha):
-    """x + sin^2(alpha x)/alpha in f32 (models/dacvae.py Snake numerics)."""
+def _snake_f32(x32, alpha, fast: bool):
+    """x + sin^2(alpha x)/alpha in f32, matching ops.conv.snake's dtype
+    policy: polynomial sin^2 on the bf16 path, exact sin otherwise."""
+    if fast:
+        from sam_audio_tpu.ops.conv import _sin2_fast
+
+        return x32 + (1.0 / (alpha + 1e-9)) * _sin2_fast(alpha * x32)
     return x32 + (1.0 / (alpha + 1e-9)) * jnp.square(jnp.sin(alpha * x32))
 
 
 def _res_unit_kernel(xl_ref, xc_ref, xr_ref, w7_ref, b7_ref, w1_ref, b1_ref,
                      a1_ref, a2_ref, out_ref, *, dilation: int,
-                     kernel_size: int, out_dtype):
+                     kernel_size: int, out_dtype, fast_snake: bool):
     t = pl.program_id(1)
     n_t = pl.num_programs(1)
     halo = (kernel_size - 1) * dilation // 2
@@ -55,7 +60,7 @@ def _res_unit_kernel(xl_ref, xc_ref, xr_ref, w7_ref, b7_ref, w1_ref, b1_ref,
 
     a1 = a1_ref[...].astype(jnp.float32)             # (C, 1)
     a2 = a2_ref[...].astype(jnp.float32)
-    s1 = _snake_f32(xw.astype(jnp.float32), a1).astype(xc.dtype)
+    s1 = _snake_f32(xw.astype(jnp.float32), a1, fast_snake).astype(xc.dtype)
 
     # dilated k7 conv == 7 accumulating MXU matmuls on shifted views
     acc = jnp.broadcast_to(b7_ref[...].astype(jnp.float32),
@@ -68,7 +73,7 @@ def _res_unit_kernel(xl_ref, xc_ref, xr_ref, w7_ref, b7_ref, w1_ref, b1_ref,
     # match the XLA path: conv output materializes in bf16 before snake2
     h = acc.astype(xc.dtype)
 
-    s2 = _snake_f32(h.astype(jnp.float32), a2).astype(xc.dtype)
+    s2 = _snake_f32(h.astype(jnp.float32), a2, fast_snake).astype(xc.dtype)
     out = jax.lax.dot(w1_ref[...], s2, preferred_element_type=jnp.float32)
     out = out + b1_ref[...].astype(jnp.float32)
     out = out + xc.astype(jnp.float32)
@@ -90,7 +95,8 @@ def _fused_res_unit_padded(x, w7, b7, w1, b1, alpha1, alpha2, *,
         x = jnp.pad(x, [(0, 0), (0, 0), (0, t_pad - t)])
 
     kernel = functools.partial(_res_unit_kernel, dilation=dilation,
-                               kernel_size=k, out_dtype=x.dtype)
+                               kernel_size=k, out_dtype=x.dtype,
+                               fast_snake=x.dtype == jnp.bfloat16)
     view = lambda off: pl.BlockSpec(
         (1, c, block_t),
         lambda b_, i, off=off: (b_, 0, jnp.clip(i + off, 0, n_t - 1)),
