@@ -33,7 +33,7 @@ except Exception:
 
 
 def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
-         iters: int = 3, preview_nfe: int = 0):
+         iters: int = 3, preview_nfe: int = 0, int8: bool = False):
     from sam_audio_tpu.config import SAMAudioConfig
     from sam_audio_tpu.models.sam_audio import (
         decode_channel,
@@ -68,6 +68,12 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
     params = jax.tree_util.tree_unflatten(treedef, _gen(jax.random.PRNGKey(0)))
     print(f"init: {num_params(params)/1e9:.2f}B params in {time.time()-t0:.1f}s",
           file=sys.stderr)
+    if int8:
+        from sam_audio_tpu.ops.quant import quantize_sam_audio_params
+
+        params = jax.jit(quantize_sam_audio_params)(params)
+        print("int8 serving mode: DiT matmuls quantized (opt-in, non-parity)",
+              file=sys.stderr)
 
     sr = cfg.audio_codec.sample_rate
     hop = cfg.audio_codec.hop_length
@@ -181,6 +187,8 @@ if __name__ == "__main__":
     ap.add_argument("-n", "--iters", type=int, default=5)
     ap.add_argument("--preview-nfe", type=int, default=0,
                     help="opt-in fast-rerank mode (see separate(preview_nfe=))")
+    ap.add_argument("--int8", action="store_true",
+                    help="opt-in int8 DiT serving mode (SAMAudio.quantize())")
     args = ap.parse_args()
     main(args.candidates, args.seconds, args.batch, args.iters,
-         args.preview_nfe)
+         args.preview_nfe, args.int8)

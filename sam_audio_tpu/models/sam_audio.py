@@ -334,6 +334,17 @@ class SAMAudio:
             feature_idx, self.hop_length, self.sample_rate
         )
 
+    def quantize(self):
+        """Opt-in int8 serving mode: quantize the DiT's hot matmuls to
+        per-channel int8 weights (dynamic per-token int8 activations at run
+        time) for ~2x MXU rate on the 32-NFE ODE. Non-parity — small, bounded
+        accuracy cost; like `separate(preview_nfe=...)` this trades exactness
+        for speed. See ops/quant.py. Returns self."""
+        from sam_audio_tpu.ops.quant import quantize_sam_audio_params
+
+        self.params = quantize_sam_audio_params(self.params)
+        return self
+
     def shard(self, mesh=None, tp: int = 1):
         """Place params on a device mesh for multi-chip serving: tensor-
         parallel rules for the DiT/T5 (see parallel/mesh.py), replication for

@@ -39,6 +39,10 @@ def linear_init(key, in_dim: int, out_dim: int, bias: bool = True, dtype=jnp.flo
 
 
 def linear(params, x, compute_dtype=None):
+    if "w8" in params:  # int8 serving mode (see ops/quant.py)
+        from sam_audio_tpu.ops.quant import linear_int8
+
+        return linear_int8(params, x, compute_dtype)
     w = params["weight"]
     if compute_dtype is not None:
         w = w.astype(compute_dtype)

@@ -1,0 +1,107 @@
+"""Int8 serving mode (ops/quant.py): numerics and end-to-end wiring."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam_audio_tpu.config import TransformerConfig, tiny_test_config
+from sam_audio_tpu.models.dit import dit_apply, dit_init
+from sam_audio_tpu.ops import nn as N
+from sam_audio_tpu.ops.quant import (
+    linear_int8,
+    quantize_dit_params,
+    quantize_linear,
+    quantize_sam_audio_params,
+)
+
+CFG = TransformerConfig(
+    dim=32, n_heads=4, n_layers=3, dropout=0.0, context_dim=16,
+    max_positions=64, frequency_embedding_dim=8, out_channels=6,
+    in_channels=None,
+)
+
+
+def test_linear_int8_close_to_exact():
+    rng = np.random.RandomState(0)
+    p = {
+        "weight": jnp.asarray(rng.randn(24, 48).astype(np.float32) * 0.1),
+        "bias": jnp.asarray(rng.randn(24).astype(np.float32)),
+    }
+    x = jnp.asarray(rng.randn(5, 7, 48).astype(np.float32))
+    exact = N.linear(p, x)
+    q = quantize_linear(p)
+    approx = linear_int8(q, x)
+    assert q["w8"].dtype == jnp.int8
+    assert q["w_scale"].shape == (24,)
+    # W8A8 error bound: ~1% relative on well-scaled gaussian data
+    rel = np.abs(np.asarray(approx - exact)) / (np.abs(np.asarray(exact)) + 1e-2)
+    assert float(np.median(rel)) < 0.02, float(np.median(rel))
+
+
+def test_linear_dispatches_on_quantized_params():
+    rng = np.random.RandomState(1)
+    p = {"weight": jnp.asarray(rng.randn(8, 16).astype(np.float32))}
+    x = jnp.asarray(rng.randn(3, 16).astype(np.float32))
+    q = quantize_linear(p)
+    np.testing.assert_allclose(
+        np.asarray(N.linear(q, x)), np.asarray(linear_int8(q, x))
+    )
+
+
+def test_quantized_dit_matches_fp_closely():
+    params = dit_init(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_dit_params(params)
+    # stacked-layer leaves quantized with per-(layer, out_channel) scales
+    assert qparams["layers"]["attention"]["wq"]["w8"].shape == (
+        CFG.n_layers, CFG.dim, CFG.dim)
+    assert qparams["layers"]["attention"]["wq"]["w_scale"].shape == (
+        CFG.n_layers, CFG.dim)
+    # head and embedders stay full-precision
+    assert "weight" in qparams["output"]
+    assert "weight" in qparams["t_block"]
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 10, CFG.dim).astype(np.float32))
+    time = jnp.asarray(rng.rand(2).astype(np.float32))
+    memory = jnp.asarray(rng.randn(2, 5, CFG.context_dim).astype(np.float32))
+    ref = np.asarray(dit_apply(params, x, time, cfg=CFG, memory=memory))
+    out = np.asarray(dit_apply(qparams, x, time, cfg=CFG, memory=memory))
+    assert np.isfinite(out).all()
+    denom = np.sqrt(np.mean(ref * ref)) + 1e-9
+    rel_rmse = np.sqrt(np.mean((out - ref) ** 2)) / denom
+    assert rel_rmse < 0.05, rel_rmse
+
+
+def test_separate_with_quantized_model_runs():
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+    cfg = tiny_test_config()
+    tok = ByteFallbackTokenizer(cfg.text_encoder.vocab_size)
+    model = SAMAudio.init_random(jax.random.PRNGKey(0), cfg, tokenizer=tok)
+    ref_model = SAMAudio.init_random(jax.random.PRNGKey(0), cfg, tokenizer=tok)
+    processor = SAMAudioProcessor(
+        audio_hop_length=cfg.audio_codec.hop_length,
+        audio_sampling_rate=cfg.audio_codec.sample_rate,
+    )
+    rng = np.random.RandomState(3)
+    wav = rng.randn(1, 800).astype(np.float32) * 0.1
+    batch = processor(descriptions=["a tone"], audios=[wav])
+    t_frames = batch.anchor_alignment.shape[-1]
+    noise = jax.random.normal(
+        jax.random.PRNGKey(9),
+        (1, t_frames, 2 * cfg.audio_codec.codebook_dim), jnp.float32)
+
+    ref = ref_model.separate(batch, rng=jax.random.PRNGKey(1), noise=noise)
+    model.quantize()
+    assert "w8" in model.params["transformer"]["layers"]["attention"]["wq"]
+    out = model.separate(batch, rng=jax.random.PRNGKey(1), noise=noise)
+
+    a = np.asarray(out.target[0])
+    b = np.asarray(ref.target[0])
+    assert np.isfinite(a).all()
+    # same noise, quantized weights: outputs strongly correlated with exact
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.9, corr

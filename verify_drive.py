@@ -104,6 +104,13 @@ def main():
     assert np.isfinite(np.asarray(r2.target[0])).all()
     print("anchors path OK")
 
+    # int8 serving mode: same batch through the quantized model
+    model.quantize()
+    r3 = model.separate(batch, reranking_candidates=2, rng=jax.random.PRNGKey(1))
+    q = np.asarray(r3.target[0])
+    assert q.shape[-1] == expect and np.isfinite(q).all()
+    print("int8 quantized path OK")
+
     # mismatched lengths must assert
     try:
         processor(descriptions=["one"], audios=[wav_path, wav_path])
