@@ -64,7 +64,14 @@ class FlowMatchingDataPipeline:
     def __init__(self, cfg: SAMAudioConfig, params, tokenizer,
                  bucket_seconds: float = 2.0):
         self.cfg = cfg
-        self.params = params
+        # Featurization needs only the frozen towers. Copy them: the Trainer
+        # donates its state buffers each step (jit donate_argnums), which
+        # would invalidate a shared params tree after the first step.
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True),
+            {"audio_codec": params["audio_codec"],
+             "text_encoder": params["text_encoder"]},
+        )
         self.tokenizer = tokenizer
         self.processor = SAMAudioProcessor(
             audio_hop_length=cfg.audio_codec.hop_length,
