@@ -438,6 +438,24 @@ def convert_t5_state_dict(sd: Dict[str, np.ndarray], cfg: T5EncoderConfig):
     }
 
 
+
+def split_fused_qkv(weight, bias=None):
+    """Split a torch fused qkv projection ((3*dim, dim) weight, optional
+    (3*dim,) bias — nn.MultiheadAttention in_proj / timm qkv) into
+    {"wq","wk","wv"} linear param dicts."""
+    w = np.asarray(weight)
+    wq, wk, wv = np.split(w, 3, axis=0)
+    out = {"wq": {"weight": jnp.asarray(wq)},
+           "wk": {"weight": jnp.asarray(wk)},
+           "wv": {"weight": jnp.asarray(wv)}}
+    if bias is not None:
+        bq, bk, bv = np.split(np.asarray(bias), 3, axis=0)
+        out["wq"]["bias"] = jnp.asarray(bq)
+        out["wk"]["bias"] = jnp.asarray(bk)
+        out["wv"]["bias"] = jnp.asarray(bv)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # PE-AV tower conversion (layout-sniffing)
 # ---------------------------------------------------------------------------
@@ -493,9 +511,11 @@ _PEAV_FINAL_NORM_KEYS = ["final_layer_norm", "final_norm", "norm", "ln_post",
                          "encoder.norm", "encoder.layer_norm"]
 # recomputed buffers: consume silently, never report as unconverted
 _PEAV_IGNORE_RE = re.compile(
-    r"(rotary.*\.inv_freq|freqs_cis|position_ids|attn\.bias|attn\.masked_bias|"
-    r"num_batches_tracked)$"
+    r"(position_ids|attn\.bias|attn\.masked_bias|num_batches_tracked)$"
 )
+# rotary buffers: recomputed too, but their presence flips the tower's
+# positional mode to "rope" (see convert_peav_tower)
+_PEAV_ROTARY_RE = re.compile(r"(rotary.*\.inv_freq|\binv_freq|freqs_cis)$")
 
 
 def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg):
@@ -558,33 +578,19 @@ def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg):
         if attn is None:
             for qkvn, on in _PEAV_FUSED_SCHEMES:
                 if have(f"{L}.{qkvn}.weight"):
-                    w = np.asarray(take(f"{L}.{qkvn}.weight"))
-                    wq, wk, wv = np.split(w, 3, axis=0)
-                    attn = {"wq": {"weight": jnp.asarray(wq)},
-                            "wk": {"weight": jnp.asarray(wk)},
-                            "wv": {"weight": jnp.asarray(wv)},
-                            "wo": take_linear(f"{L}.{on}")}
-                    if have(f"{L}.{qkvn}.bias"):
-                        b = np.asarray(take(f"{L}.{qkvn}.bias"))
-                        bq, bk, bv = np.split(b, 3, axis=0)
-                        attn["wq"]["bias"] = jnp.asarray(bq)
-                        attn["wk"]["bias"] = jnp.asarray(bk)
-                        attn["wv"]["bias"] = jnp.asarray(bv)
+                    attn = split_fused_qkv(
+                        take(f"{L}.{qkvn}.weight"),
+                        take(f"{L}.{qkvn}.bias")
+                        if have(f"{L}.{qkvn}.bias") else None)
+                    attn["wo"] = take_linear(f"{L}.{on}")
                     break
         if attn is None and have(f"{L}.attn.in_proj_weight"):
             # torch nn.MultiheadAttention (CLIP style)
-            w = np.asarray(take(f"{L}.attn.in_proj_weight"))
-            wq, wk, wv = np.split(w, 3, axis=0)
-            attn = {"wq": {"weight": jnp.asarray(wq)},
-                    "wk": {"weight": jnp.asarray(wk)},
-                    "wv": {"weight": jnp.asarray(wv)},
-                    "wo": take_linear(f"{L}.attn.out_proj")}
-            if have(f"{L}.attn.in_proj_bias"):
-                b = np.asarray(take(f"{L}.attn.in_proj_bias"))
-                bq, bk, bv = np.split(b, 3, axis=0)
-                attn["wq"]["bias"] = jnp.asarray(bq)
-                attn["wk"]["bias"] = jnp.asarray(bk)
-                attn["wv"]["bias"] = jnp.asarray(bv)
+            attn = split_fused_qkv(
+                take(f"{L}.attn.in_proj_weight"),
+                take(f"{L}.attn.in_proj_bias")
+                if have(f"{L}.attn.in_proj_bias") else None)
+            attn["wo"] = take_linear(f"{L}.attn.out_proj")
         if attn is None:
             raise ValueError(f"unrecognized attention layout in {prefix}{L}")
         for norm_name, slot in (("q_norm", "q_norm"), ("k_norm", "k_norm"),
@@ -656,6 +662,22 @@ def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg):
         if have(f"{key}.weight"):
             params["final_norm"] = take_norm(key)
             break
+
+    # rotary buffers imply a RoPE tower: set the executor's pos mode and
+    # derive theta from inv_freq (inv_freq[i] = theta^(-2i/d)) so the
+    # position encoding actually executes rather than being silently dropped
+    rope_keys = [k for k in sub if k not in consumed
+                 and _PEAV_ROTARY_RE.search(k)]
+    if rope_keys and arch["pos"] != "learned":
+        arch["pos"] = "rope"
+        inv_key = next((k for k in rope_keys if k.endswith("inv_freq")), None)
+        if inv_key is not None:
+            inv = np.asarray(sub[inv_key]).reshape(-1)
+            if inv.size >= 2 and 0.0 < float(inv[1]) < 1.0:
+                d = 2 * inv.size
+                arch["rope_theta"] = float(inv[1] ** (-d / 2.0))
+    for k in rope_keys:
+        consumed.add(k)
 
     for k in list(sub):
         if k not in consumed and _PEAV_IGNORE_RE.search(k):

@@ -275,7 +275,8 @@ class PEAVTransformerConfig:
     # inferred when the checkpoint carries a position table).
     prenorm: bool = True
     act: str = "gelu_tanh"
-    pos: str = "sinusoidal"
+    pos: str = "sinusoidal"  # | "learned" | "none" | "rope"
+    rope_theta: float = 10000.0  # derived from the checkpoint's inv_freq
     norm: str = "layernorm"  # or "rmsnorm" (sniffed: affine bias => layernorm)
 
 

@@ -159,7 +159,7 @@ class AudioboxAesthetics:
     def from_torch_checkpoint(cls, path: str,
                               cfg: AudioboxAestheticsConfig = None):
         cfg = cfg or AudioboxAestheticsConfig()
-        params, unconverted = convert_aes_checkpoint(path, cfg)
+        params, unconverted, cfg = convert_aes_checkpoint(path, cfg)
         if unconverted:
             raise ValueError(
                 f"unconverted audiobox-aesthetics keys: {unconverted[:20]}"
@@ -277,6 +277,16 @@ def convert_aes_checkpoint(path: str, cfg: AudioboxAestheticsConfig):
                   if k.startswith(wrapper) and k not in head_keys}
 
     renamed = fairseq_wavlm_to_hf_keys(tower_keys)
+    # wavlm-large layout: LayerNorm on every extractor conv <=> pre-LN
+    # (stable) encoder; adjust the config to match the checkpoint
+    layer_mode = "feature_extractor.conv_layers.1.layer_norm.weight" in renamed
+    if layer_mode != (cfg.wavlm.feat_extract_norm == "layer"):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, wavlm=dataclasses.replace(
+            cfg.wavlm,
+            feat_extract_norm="layer" if layer_mode else "group",
+            do_stable_layer_norm=layer_mode))
     wavlm_params, unconverted = convert_wavlm_state_dict(renamed, cfg.wavlm)
     # map renamed unconverted keys back to original spelling when possible
     if unconverted:
@@ -306,6 +316,9 @@ def convert_aes_checkpoint(path: str, cfg: AudioboxAestheticsConfig):
         raise ValueError(f"no projection head found for axes {missing}")
     unconverted += [k for k in head_keys
                     if not (k.endswith(".weight") or k.endswith(".bias"))]
+    # keys outside both partitions (neither tower nor head) must fail loudly
+    unconverted += [k for k in sd
+                    if not k.startswith(wrapper) and k not in head_keys]
 
     params = {"wavlm": wavlm_params, "heads": heads}
     if isinstance(tt, dict):
@@ -313,4 +326,4 @@ def convert_aes_checkpoint(path: str, cfg: AudioboxAestheticsConfig):
             ax: {"mean": float(v["mean"]), "std": float(v["std"])}
             for ax, v in tt.items() if ax in AXES
         }
-    return params, sorted(unconverted)
+    return params, sorted(unconverted), cfg

@@ -206,9 +206,8 @@ def convert_clap_state_dict(sd, cfg: ClapConfig):
                                                      prefix="audio_branch.")
     consumed |= audio_consumed
 
-    text_keys = [k for k in sd if k.startswith("text_branch.")]
-    text = convert_roberta_state_dict(sd, cfg.roberta, prefix="text_branch.")
-    consumed |= set(text_keys)  # converter consumes the full HF layout
+    text = convert_roberta_state_dict(sd, cfg.roberta, prefix="text_branch.",
+                                      consumed=consumed)
 
     def lin(base):
         consumed.add(f"{base}.weight")

@@ -257,24 +257,24 @@ def htsat_init(key, cfg: HTSATConfig, dtype=jnp.float32):
             },
             "norm": N.layernorm_init(cfg.embed_dim, dtype),
         },
-        "stages": {},
+        "stages": [],  # lists round-trip through flatten/unflatten_pytree
         "norm": N.layernorm_init(cfg.out_dim, dtype),
     }
     for li, depth in enumerate(cfg.depths):
         c = cfg.embed_dim * 2**li
         stage_key = jax.random.split(ks[2 + li], depth + 1)
-        stage = {"blocks": {
-            str(j): _block_init(stage_key[j], c, cfg.num_heads[li],
-                                cfg.window_size, cfg.mlp_ratio, dtype)
+        stage = {"blocks": [
+            _block_init(stage_key[j], c, cfg.num_heads[li],
+                        cfg.window_size, cfg.mlp_ratio, dtype)
             for j in range(depth)
-        }}
+        ]}
         if li < len(cfg.depths) - 1:
             stage["downsample"] = {
                 "norm": N.layernorm_init(4 * c, dtype),
                 "reduction": N.linear_init(stage_key[depth], 4 * c, 2 * c,
                                            bias=False, dtype=dtype),
             }
-        params["stages"][str(li)] = stage
+        params["stages"].append(stage)
     return params
 
 
@@ -329,11 +329,11 @@ def htsat_embed(params, cfg: HTSATConfig, wav: jnp.ndarray,
 
     res = gh
     for li, depth in enumerate(cfg.depths):
-        stage = params["stages"][str(li)]
+        stage = params["stages"][li]
         ws = min(cfg.window_size, res)
         for j in range(depth):
             shift = 0 if (j % 2 == 0 or res <= ws) else ws // 2
-            x = _swin_block(stage["blocks"][str(j)], x, res,
+            x = _swin_block(stage["blocks"][j], x, res,
                             cfg.num_heads[li], ws, shift, cfg.ln_eps,
                             compute_dtype)
         if "downsample" in stage:
@@ -379,14 +379,14 @@ def convert_htsat_state_dict(sd, cfg: HTSATConfig, prefix: str = ""):
                 "mean": g("bn0.running_mean"), "var": g("bn0.running_var")},
         "patch_embed": {"proj": lin("patch_embed.proj"),
                         "norm": ln("patch_embed.norm")},
-        "stages": {},
+        "stages": [],
         "norm": ln("norm"),
     }
     for li, depth in enumerate(cfg.depths):
-        stage = {"blocks": {}}
+        stage = {"blocks": []}
         for j in range(depth):
             B = f"layers.{li}.blocks.{j}"
-            stage["blocks"][str(j)] = {
+            stage["blocks"].append({
                 "norm1": ln(f"{B}.norm1"),
                 "qkv": lin(f"{B}.attn.qkv"),
                 "proj": lin(f"{B}.attn.proj"),
@@ -396,7 +396,7 @@ def convert_htsat_state_dict(sd, cfg: HTSATConfig, prefix: str = ""):
                 "norm2": ln(f"{B}.norm2"),
                 "fc1": lin(f"{B}.mlp.fc1"),
                 "fc2": lin(f"{B}.mlp.fc2"),
-            }
+            })
             for buf in (f"{B}.attn.relative_position_index", f"{B}.attn_mask"):
                 if have(buf):
                     consumed.add(prefix + buf)
@@ -406,7 +406,7 @@ def convert_htsat_state_dict(sd, cfg: HTSATConfig, prefix: str = ""):
                 "reduction": lin(f"layers.{li}.downsample.reduction",
                                  bias=False),
             }
-        params["stages"][str(li)] = stage
+        params["stages"].append(stage)
     # token-semantic head: not used by the CLAP embedding path, but converted
     # so the checkpoint maps completely (framewise output support later).
     if have("tscam_conv.weight"):

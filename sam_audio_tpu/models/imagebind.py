@@ -146,22 +146,47 @@ def encode_audio(params, cfg: ImageBindConfig, melclips: jnp.ndarray,
     return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
 
 
+
+def _bilinear_resize_np(x: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """(N, C, H, W) float32 bilinear resize in pure numpy (half-pixel
+    centers, same convention as jax.image.resize/torch align_corners=False).
+    Host preprocessing must not dispatch device programs (CLAUDE.md: host
+    code touches numpy only; un-jitted device calls pay ~25 ms relay RTT)."""
+    n, c, h, w = x.shape
+
+    def axis_weights(out_len, in_len):
+        pos = (np.arange(out_len, dtype=np.float64) + 0.5) * in_len / out_len - 0.5
+        lo = np.floor(pos).astype(np.int64)
+        frac = (pos - lo).astype(np.float32)
+        lo0 = np.clip(lo, 0, in_len - 1)
+        lo1 = np.clip(lo + 1, 0, in_len - 1)
+        return lo0, lo1, frac
+
+    y0, y1, fy = axis_weights(nh, h)
+    x0, x1, fx = axis_weights(nw, w)
+    rows = x[:, :, y0] * (1.0 - fy)[None, None, :, None] + \
+        x[:, :, y1] * fy[None, None, :, None]
+    out = rows[:, :, :, x0] * (1.0 - fx)[None, None, None, :] + \
+        rows[:, :, :, x1] * fx[None, None, None, :]
+    return out.astype(np.float32)
+
+
 def video_to_clips(frames: np.ndarray, cfg: ImageBindConfig) -> np.ndarray:
     """(N, C, H, W) -> (num_clips, C, S, S): short-side scale to S + center
     crop, clips sampled evenly in time (3-crop reduced to center for
     determinism; reference uses 3 spatial crops averaged)."""
     n = frames.shape[0]
     idx = np.linspace(0, max(n - 1, 0), cfg.num_video_clips).astype(int)
-    sel = jnp.asarray(frames[idx], jnp.float32)
+    sel = np.asarray(frames[idx], np.float32)
     c, h, w = sel.shape[1:]
     s = cfg.image_size
     scale = s / min(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    sel = jax.image.resize(sel, (sel.shape[0], c, nh, nw), method="bilinear")
+    sel = _bilinear_resize_np(sel, nh, nw)
     top = (nh - s) // 2
     left = (nw - s) // 2
     sel = sel[:, :, top : top + s, left : left + s]
-    return np.asarray(sel / 255.0)
+    return sel / 255.0
 
 
 def encode_vision(params, cfg: ImageBindConfig, clips: jnp.ndarray,
@@ -252,6 +277,9 @@ def imagebind_encode_audio(params, cfg: ImageBindHugeConfig, melclips,
         window_strides=(cfg.audio_stride, cfg.audio_stride), padding="VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )
+    if "bias" in params["audio"]["stem"]:
+        x = x + params["audio"]["stem"]["bias"].astype(x.dtype)[
+            None, :, None, None]
     bb, d, gh, gw = x.shape
     tokens = x.reshape(bb, d, gh * gw).transpose(0, 2, 1)
     tf = PEAVTransformerConfig(hidden_size=cfg.audio_dim,
@@ -287,6 +315,9 @@ def imagebind_encode_vision(params, cfg: ImageBindHugeConfig, clips,
         padding="VALID",
         dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
     )
+    if "bias" in params["vision"]["stem"]:
+        x = x + params["vision"]["stem"]["bias"].astype(x.dtype)[
+            None, :, None, None, None]
     bb, d = x.shape[:2]
     tokens = x.reshape(bb, d, -1).transpose(0, 2, 1)
     tf = PEAVTransformerConfig(hidden_size=cfg.vision_dim,
@@ -325,10 +356,9 @@ def video_to_frame_clips(frames: np.ndarray, num_clips: int = 5,
     nc, t, c, h, w = clips.shape
     scale = size / min(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
-    clips = np.asarray(jax.image.resize(
-        jnp.asarray(clips.reshape(nc * t, c, h, w)),
-        (nc * t, c, nh, nw), method="bilinear",
-    )).reshape(nc, t, c, nh, nw)
+    clips = _bilinear_resize_np(
+        clips.reshape(nc * t, c, h, w), nh, nw
+    ).reshape(nc, t, c, nh, nw)
     crops = []
     if num_crops == 1:
         offsets = [((nh - size) // 2, (nw - size) // 2)]

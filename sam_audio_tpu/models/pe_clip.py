@@ -113,11 +113,14 @@ def encode_images(params, x: jnp.ndarray, cfg: PerceptionEncoderConfig,
         x, pe_w, (cfg.patch_size, cfg.patch_size), "VALID",
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
     )  # (N, w, g, g)
+    if "bias" in params["patch_embed"]:
+        h = h + params["patch_embed"]["bias"].astype(h.dtype)[None, :, None, None]
     h = h.reshape(n, w, -1).swapaxes(1, 2)  # (N, tokens, w)
     if cfg.use_cls_token:
         cls = jnp.broadcast_to(params["cls_token"][None, None, :], (n, 1, w))
         h = jnp.concatenate([cls.astype(h.dtype), h], axis=1)
-    h = h + params["pos_embed"][None].astype(h.dtype)
+    if "pos_embed" in params:  # absent on rope2d-only checkpoints
+        h = h + params["pos_embed"][None].astype(h.dtype)
     if "ln_pre" in params:
         h = N.layernorm(params["ln_pre"], h)
 
@@ -240,17 +243,12 @@ def convert_pe_clip_state_dict(sd, cfg: PerceptionEncoderConfig,
             continue
         ap = {"probe": g(probe).reshape(1, -1)}
         if have(f"{ap_base}.attn.in_proj_weight"):
-            w = onp.asarray(g(f"{ap_base}.attn.in_proj_weight"))
-            wq, wk, wv = onp.split(w, 3, axis=0)
-            ap["wq"] = {"weight": jnp.asarray(wq)}
-            ap["wk"] = {"weight": jnp.asarray(wk)}
-            ap["wv"] = {"weight": jnp.asarray(wv)}
-            if have(f"{ap_base}.attn.in_proj_bias"):
-                b = onp.asarray(g(f"{ap_base}.attn.in_proj_bias"))
-                bq, bk, bv = onp.split(b, 3, axis=0)
-                ap["wq"]["bias"] = jnp.asarray(bq)
-                ap["wk"]["bias"] = jnp.asarray(bk)
-                ap["wv"]["bias"] = jnp.asarray(bv)
+            from sam_audio_tpu.checkpoint import split_fused_qkv
+
+            ap.update(split_fused_qkv(
+                g(f"{ap_base}.attn.in_proj_weight"),
+                g(f"{ap_base}.attn.in_proj_bias")
+                if have(f"{ap_base}.attn.in_proj_bias") else None))
             ap["wo"] = {"weight": g(f"{ap_base}.attn.out_proj.weight")}
             if have(f"{ap_base}.attn.out_proj.bias"):
                 ap["wo"]["bias"] = g(f"{ap_base}.attn.out_proj.bias")

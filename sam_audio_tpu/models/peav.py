@@ -109,6 +109,13 @@ def peav_apply(params, x, cfg: PEAVTransformerConfig, padding_mask=None,
     elif cfg.pos == "sinusoidal":
         pos = N.sinusoidal_embedding(jnp.arange(t).astype(jnp.float32), h)
         x = x + pos[None].astype(x.dtype)
+    rope_cs = None
+    if cfg.pos == "rope":
+        # interleaved-pair rotary (meta/perception-models freqs_cis style);
+        # theta comes from the checkpoint's inv_freq (convert_peav_tower)
+        from sam_audio_tpu.ops.rope import precompute_rope
+
+        rope_cs = precompute_rope(hd, t, cfg.rope_theta)
     if "ln_pre" in params:
         x = norm(params["ln_pre"], x)
     if compute_dtype is not None:
@@ -123,6 +130,11 @@ def peav_apply(params, x, cfg: PEAVTransformerConfig, padding_mask=None,
             q = _per_head_norm(a["q_norm"], q, eps)
         if "k_norm" in a:
             k = _per_head_norm(a["k_norm"], k, eps)
+        if rope_cs is not None:
+            from sam_audio_tpu.ops.rope import apply_rope
+
+            q = apply_rope(q, *rope_cs)
+            k = apply_rope(k, *rope_cs)
         mask = padding_mask
         if "bias_k" in a:  # torch MHA add_bias_kv: one learned kv token
             bk = jnp.broadcast_to(a["bias_k"].reshape(1, 1, nh, hd),

@@ -119,11 +119,16 @@ def roberta_encode(params, input_ids, attention_mask, cfg: RobertaConfig,
     return x, pooled
 
 
-def convert_roberta_state_dict(sd, cfg: RobertaConfig, prefix: str = ""):
-    """HF RobertaModel state_dict -> our params (torch weight layout kept)."""
+def convert_roberta_state_dict(sd, cfg: RobertaConfig, prefix: str = "",
+                               consumed=None):
+    """HF RobertaModel state_dict -> our params (torch weight layout kept).
+    Pass a set as `consumed` to record exactly which keys were read (callers
+    use it for fail-loud unconverted reporting)."""
     import numpy as np
 
     def g(k):
+        if consumed is not None:
+            consumed.add(prefix + k)
         return jnp.asarray(np.asarray(sd[prefix + k]))
 
     def lin(base):

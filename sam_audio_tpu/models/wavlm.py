@@ -45,6 +45,9 @@ class WavLMConfig:
     num_conv_pos_embeddings: int = 128
     num_conv_pos_embedding_groups: int = 16
     layer_norm_eps: float = 1e-5
+    # "group": GroupNorm after conv 0 only, convs bias-free (wavlm-base);
+    # "layer": LayerNorm after every conv, convs with bias (wavlm-large).
+    feat_extract_norm: str = "group"
     do_stable_layer_norm: bool = False
 
 
@@ -59,7 +62,10 @@ def wavlm_init(key, cfg: WavLMConfig, dtype=jnp.float32):
     ck = jax.random.split(ks[0], len(cfg.conv_dim))
     for i, (c, k) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel)):
         conv = {"weight": jax.random.normal(ck[i], (c, cin, k), dtype) * 0.02}
-        if i == 0:
+        if cfg.feat_extract_norm == "layer":
+            conv["bias"] = jnp.zeros((c,), dtype)
+            conv["layer_norm"] = N.layernorm_init(c, dtype)
+        elif i == 0:
             conv["group_norm"] = {"weight": jnp.ones((c,), dtype),
                                   "bias": jnp.zeros((c,), dtype)}
         convs.append(conv)
@@ -142,10 +148,17 @@ def feature_extract(params, cfg: WavLMConfig, wav: jnp.ndarray,
         x = jax.lax.conv_general_dilated(
             x, w, (cfg.conv_stride[i],), "VALID",
             dimension_numbers=("NCH", "OIH", "NCH"))
+        if "bias" in conv:
+            x = x + conv["bias"].astype(x.dtype)[None, :, None]
         if "group_norm" in conv:
             from sam_audio_tpu.ops.conv import groupnorm
 
             x = groupnorm(conv["group_norm"], x, num_groups=x.shape[1])
+        elif "layer_norm" in conv:
+            # cross-channel LN (HF WavLMLayerNormConvLayer: transpose, LN, back)
+            x = jnp.swapaxes(
+                N.layernorm(conv["layer_norm"], jnp.swapaxes(x, 1, 2),
+                            cfg.layer_norm_eps), 1, 2)
         x = jax.nn.gelu(x, approximate=False)
     return jnp.swapaxes(x, 1, 2)
 
@@ -185,7 +198,10 @@ def wavlm_encode(params, cfg: WavLMConfig, wav: jnp.ndarray,
         pos = pos[:, :, :-1]
     pos = jax.nn.gelu(jnp.swapaxes(pos, 1, 2), approximate=False)
     h = h + pos
-    h = N.layernorm(params["encoder_layer_norm"], h, eps)
+    if not cfg.do_stable_layer_norm:
+        # post-LN layout normalizes before the stack; the stable (pre-LN)
+        # layout applies encoder_layer_norm after the last layer instead
+        h = N.layernorm(params["encoder_layer_norm"], h, eps)
 
     b, t, hidden = h.shape
     nh = cfg.num_heads
@@ -202,11 +218,13 @@ def wavlm_encode(params, cfg: WavLMConfig, wav: jnp.ndarray,
         attn_mask = jnp.where(frame_mask[:, None, None, :], 0.0, -jnp.inf)
 
     all_hidden = [h]
+    prenorm = cfg.do_stable_layer_norm
     for layer in params["layers"]:
         a = layer["attention"]
-        # per-layer gate on the shared bias: sigmoid projections of this
-        # layer's hidden states, per (batch, head, query)
-        ghs = h.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
+        x_attn = N.layernorm(layer["layer_norm"], h, eps) if prenorm else h
+        # per-layer gate on the shared bias: sigmoid projections of the
+        # attention input, per (batch, head, query)
+        ghs = x_attn.reshape(b, t, nh, hd).transpose(0, 2, 1, 3)
         proj = N.linear(a["gru_rel_pos_linear"], ghs, compute_dtype)
         proj = proj.reshape(b, nh, t, 2, 4).sum(-1)
         gates = jax.nn.sigmoid(proj.astype(jnp.float32))
@@ -215,9 +233,9 @@ def wavlm_encode(params, cfg: WavLMConfig, wav: jnp.ndarray,
         gate = gate_a * (gate_b * const - 1.0) + 2.0        # (B, H, T, 1)
         gated_bias = gate * position_bias[None]             # (B, H, Tq, Tk)
 
-        q = N.linear(a["q_proj"], h, compute_dtype).reshape(b, t, nh, hd)
-        k = N.linear(a["k_proj"], h, compute_dtype).reshape(b, t, nh, hd)
-        v = N.linear(a["v_proj"], h, compute_dtype).reshape(b, t, nh, hd)
+        q = N.linear(a["q_proj"], x_attn, compute_dtype).reshape(b, t, nh, hd)
+        k = N.linear(a["k_proj"], x_attn, compute_dtype).reshape(b, t, nh, hd)
+        v = N.linear(a["v_proj"], x_attn, compute_dtype).reshape(b, t, nh, hd)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
         scores = scores * (hd ** -0.5) + gated_bias
         if attn_mask is not None:
@@ -226,13 +244,25 @@ def wavlm_encode(params, cfg: WavLMConfig, wav: jnp.ndarray,
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, hidden)
         attn_out = N.linear(a["out_proj"], ctx, compute_dtype)
 
-        h = N.layernorm(layer["layer_norm"], h + attn_out, eps)
-        ff = jax.nn.gelu(
-            N.linear(layer["intermediate_dense"], h, compute_dtype),
-            approximate=False)
-        ff = N.linear(layer["output_dense"], ff, compute_dtype)
-        h = N.layernorm(layer["final_layer_norm"], h + ff, eps)
+        if prenorm:
+            h = h + attn_out
+            ff_in = N.layernorm(layer["final_layer_norm"], h, eps)
+            ff = jax.nn.gelu(
+                N.linear(layer["intermediate_dense"], ff_in, compute_dtype),
+                approximate=False)
+            h = h + N.linear(layer["output_dense"], ff, compute_dtype)
+        else:
+            h = N.layernorm(layer["layer_norm"], h + attn_out, eps)
+            ff = jax.nn.gelu(
+                N.linear(layer["intermediate_dense"], h, compute_dtype),
+                approximate=False)
+            ff = N.linear(layer["output_dense"], ff, compute_dtype)
+            h = N.layernorm(layer["final_layer_norm"], h + ff, eps)
         all_hidden.append(h)
+
+    if prenorm:
+        h = N.layernorm(params["encoder_layer_norm"], h, eps)
+        all_hidden[-1] = h
 
     if output_hidden_states:
         return all_hidden
@@ -262,12 +292,19 @@ def convert_wavlm_state_dict(sd, cfg: WavLMConfig, prefix: str = ""):
     def ln(base):
         return {"weight": g(f"{base}.weight"), "bias": g(f"{base}.bias")}
 
+    # "layer" extractors (wavlm-large) have a layer_norm on EVERY conv;
+    # "group" (base) names its single conv-0 GroupNorm "layer_norm" too —
+    # distinguish by whether conv 1 carries one.
+    layer_mode = "feature_extractor.conv_layers.1.layer_norm.weight" in sub
     convs = []
     for i in range(len(cfg.conv_dim)):
         base = f"feature_extractor.conv_layers.{i}"
         conv = {"weight": g(f"{base}.conv.weight")}
+        if f"{base}.conv.bias" in sub:
+            conv["bias"] = g(f"{base}.conv.bias")
         if f"{base}.layer_norm.weight" in sub:
-            conv["group_norm"] = ln(f"{base}.layer_norm")
+            key = "layer_norm" if layer_mode else "group_norm"
+            conv[key] = ln(f"{base}.layer_norm")
         convs.append(conv)
 
     pc = "encoder.pos_conv_embed.conv"

@@ -41,19 +41,24 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
 # Megatron-style tensor-parallel rules for the DiT / T5 / codec param tree.
 # Patterns are matched against "/"-joined pytree paths. Weights are
 # torch-layout (out, in) — possibly with a leading stacked-layer axis.
+# "w8" is the int8 serving mode's quantized weight (ops/quant.py) — same
+# (out, in) layout as "weight", so it shards identically; its per-out-channel
+# "w_scale" follows the out axis on column-parallel matmuls and stays
+# replicated on row-parallel ones (scales apply after the tp reduction).
 _COLUMN_PARALLEL = re.compile(
-    r"(attention|cross_attention|attn)/(wq|wk|wv|q|k|v)/weight$"
-    r"|feed_forward/(w1|w3)/weight$"
+    r"(attention|cross_attention|attn)/(wq|wk|wv|q|k|v)/(weight|w8)$"
+    r"|feed_forward/(w1|w3)/(weight|w8)$"
     r"|ff/wi/weight$"
     r"|t_block/weight$"
 )
 _ROW_PARALLEL = re.compile(
-    r"(attention|cross_attention|attn)/(wo|o)/weight$"
-    r"|feed_forward/w2/weight$"
+    r"(attention|cross_attention|attn)/(wo|o)/(weight|w8)$"
+    r"|feed_forward/w2/(weight|w8)$"
     r"|ff/wo/weight$"
 )
 _COLUMN_BIAS = re.compile(
-    r"(attention|cross_attention)/(wq|wk|wv)/bias$|feed_forward/(w1|w3)/bias$"
+    r"(attention|cross_attention)/(wq|wk|wv)/(bias|w_scale)$"
+    r"|feed_forward/(w1|w3)/(bias|w_scale)$"
     r"|t_block/bias$"
 )
 

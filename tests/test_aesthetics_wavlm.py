@@ -96,7 +96,7 @@ def _fake_checkpoint(tmp_path):
 def test_convert_and_wavlm_parity(tmp_path):
     hf, path = _fake_checkpoint(tmp_path)
     cfg = AudioboxAestheticsConfig(wavlm=TINY_WAVLM)
-    params, unconverted = convert_aes_checkpoint(path, cfg)
+    params, unconverted, cfg = convert_aes_checkpoint(path, cfg)
     assert unconverted == [], unconverted
     assert set(params["heads"]) == set(AXES)
     assert len(params["heads"]["CE"]) == 2  # 2-linear MLP head

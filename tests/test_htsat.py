@@ -72,3 +72,25 @@ def test_htsat_random_init_runs():
     emb = htsat_embed(params, TINY, wav)
     assert emb.shape == (1, 32)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_params_survive_npz_roundtrip(tmp_path):
+    """Digit-keyed structures must round-trip through flatten/unflatten
+    (save_params listifies digit-string dict keys — params use real lists)."""
+    import jax
+
+    from sam_audio_tpu.checkpoint import load_params, save_params
+    from sam_audio_tpu.models.htsat import HTSATConfig, htsat_embed, htsat_init
+
+    cfg = HTSATConfig(sample_rate=8000, n_fft=128, hop_length=64, n_mels=16,
+                      spec_size=64, patch_size=4, embed_dim=8,
+                      depths=(1, 1), num_heads=(2, 2), window_size=4)
+    params = htsat_init(jax.random.PRNGKey(0), cfg)
+    path = str(tmp_path / "htsat.npz")
+    save_params(path, params)
+    reloaded = load_params(path)
+    wav = jax.numpy.asarray(
+        np.random.RandomState(0).randn(2, 2000).astype(np.float32))
+    ref = np.asarray(htsat_embed(params, cfg, wav))
+    out = np.asarray(htsat_embed(reloaded, cfg, wav))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)

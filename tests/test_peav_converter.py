@@ -427,3 +427,57 @@ def test_masked_mean_pooling():
     expect = (lh * mask[:, :, None]).sum(1) / mask.sum(1, keepdims=True)
     np.testing.assert_allclose(np.asarray(out.pooler_output), expect,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_rotary_buffers_flip_pos_to_rope():
+    """A llama/rope-style tower's inv_freq buffers must set arch pos='rope'
+    (with theta recovered) instead of being silently swallowed — the executor
+    then actually rotates q/k (finding: rope towers ran position-less)."""
+    import dataclasses
+
+    from sam_audio_tpu.checkpoint import convert_peav_tower
+    from sam_audio_tpu.config import PEAVTransformerConfig
+    from sam_audio_tpu.models.peav import peav_apply
+
+    rng = np.random.RandomState(6)
+    h, nh, n_layers = 16, 2, 2
+    hd = h // nh
+    theta = 50_000.0
+    inv_freq = theta ** (-np.arange(0, hd, 2, dtype=np.float64) / hd)
+    sd = {}
+    for i in range(n_layers):
+        L = f"tower.layers.{i}"
+        for name in ("attention.wq", "attention.wk", "attention.wv",
+                     "attention.wo"):
+            sd[f"{L}.{name}.weight"] = (rng.randn(h, h) * 0.2).astype(
+                np.float32)
+        sd[f"{L}.attention.rotary_emb.inv_freq"] = inv_freq.astype(np.float32)
+        sd[f"{L}.attention_norm.weight"] = np.ones(h, np.float32)
+        sd[f"{L}.ffn_norm.weight"] = np.ones(h, np.float32)
+        sd[f"{L}.feed_forward.w1.weight"] = (rng.randn(24, h) * 0.2).astype(
+            np.float32)
+        sd[f"{L}.feed_forward.w2.weight"] = (rng.randn(h, 24) * 0.2).astype(
+            np.float32)
+        sd[f"{L}.feed_forward.w3.weight"] = (rng.randn(24, h) * 0.2).astype(
+            np.float32)
+    cfg = PEAVTransformerConfig(hidden_size=h, num_layers=n_layers,
+                                num_heads=nh, norm="rmsnorm", pos="none")
+    params, arch, unconverted = convert_peav_tower(sd, "tower.", cfg)
+    assert unconverted == [], unconverted
+    assert arch["pos"] == "rope"
+    np.testing.assert_allclose(arch["rope_theta"], theta, rtol=1e-3)
+
+    cfg = dataclasses.replace(cfg, **arch)
+    x = jnp.asarray(rng.randn(1, 6, h).astype(np.float32))
+    out_rope = np.asarray(peav_apply(params, x, cfg).last_hidden_state)
+    out_none = np.asarray(peav_apply(
+        params, x, dataclasses.replace(cfg, pos="none")).last_hidden_state)
+    assert np.isfinite(out_rope).all()
+    # rope must actually change multi-position outputs...
+    assert np.abs(out_rope - out_none).max() > 1e-4
+    # ...but a single-token sequence sees only the identity rotation
+    x1 = x[:, :1]
+    r1 = np.asarray(peav_apply(params, x1, cfg).last_hidden_state)
+    n1 = np.asarray(peav_apply(
+        params, x1, dataclasses.replace(cfg, pos="none")).last_hidden_state)
+    np.testing.assert_allclose(r1, n1, atol=2e-5)

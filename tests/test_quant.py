@@ -105,3 +105,62 @@ def test_separate_with_quantized_model_runs():
     # same noise, quantized weights: outputs strongly correlated with exact
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.9, corr
+
+
+def test_quantized_params_shard_and_match_on_mesh():
+    """shard() after quantize(): w8/w_scale leaves get real TP placements and
+    the sharded quantized program matches the single-device quantized one."""
+    from sam_audio_tpu.models.sam_audio import sam_audio_init, separate_latents
+    from sam_audio_tpu.parallel.mesh import (
+        make_mesh,
+        param_partition_spec,
+        shard_batch,
+        shard_params,
+    )
+
+    # rule sanity: w8 shards like weight; w_scale follows the out axis on
+    # column-parallel and stays replicated on row-parallel
+    assert param_partition_spec(
+        "transformer/layers/attention/wq/w8", 3) == jax.sharding.PartitionSpec(
+            None, "tp", None)
+    assert param_partition_spec(
+        "transformer/layers/attention/wq/w_scale",
+        2) == jax.sharding.PartitionSpec(None, "tp")
+    assert param_partition_spec(
+        "transformer/layers/feed_forward/w2/w8",
+        3) == jax.sharding.PartitionSpec(None, None, "tp")
+    assert param_partition_spec(
+        "transformer/layers/feed_forward/w2/w_scale",
+        2) == jax.sharding.PartitionSpec(None, None)
+
+    cfg = tiny_test_config()
+    params = sam_audio_init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_sam_audio_params(params)
+
+    rng = np.random.RandomState(0)
+    t_wav, b, l = 64, 2, 5
+    t = t_wav // cfg.audio_codec.hop_length
+    args = dict(
+        audios=jnp.asarray(rng.randn(b, 1, t_wav).astype(np.float32) * 0.1),
+        text_ids=jnp.asarray(rng.randint(3, 200, (b, l)).astype(np.int32)),
+        text_mask=jnp.ones((b, l), bool),
+        anchor_ids=jnp.zeros((b, 4), jnp.int32).at[:, 1:].set(3),
+        anchor_alignment=jnp.zeros((b, t), jnp.int32),
+        audio_pad_mask=jnp.ones((b, t), bool),
+        noise=jnp.asarray(
+            rng.randn(b, t, 2 * cfg.audio_codec.codebook_dim)
+            .astype(np.float32)),
+        video_features=None,
+    )
+    ref = np.asarray(separate_latents(qparams, **args, cfg=cfg, candidates=1))
+
+    mesh = make_mesh(dp=2, tp=4)
+    sp = shard_params(qparams, mesh)
+    wq = sp["transformer"]["layers"]["attention"]["wq"]
+    assert len({s.device for s in wq["w8"].addressable_shards}) == 8
+    sa = dict(args)
+    sharded_keys = ("audios", "text_ids", "text_mask", "anchor_ids",
+                    "anchor_alignment", "audio_pad_mask", "noise")
+    sa.update(shard_batch({k: sa[k] for k in sharded_keys}, mesh))
+    out = np.asarray(separate_latents(sp, **sa, cfg=cfg, candidates=1))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)

@@ -82,3 +82,42 @@ def test_wavlm_hidden_states_and_gating_distinct_per_layer():
     for ours_h, theirs_h in zip(hs, theirs.hidden_states):
         np.testing.assert_allclose(np.asarray(ours_h), theirs_h.numpy(),
                                    rtol=2e-3, atol=3e-4)
+
+
+def test_wavlm_large_layout_matches_hf():
+    """feat_extract_norm='layer' + do_stable_layer_norm=True (the wavlm-large
+    layout): per-conv LayerNorm, conv biases, pre-LN encoder with the final
+    LN after the stack."""
+    large = dict(TINY, feat_extract_norm="layer", do_stable_layer_norm=True,
+                 conv_bias=True)
+    hf_cfg = transformers.WavLMConfig(**large)
+    torch.manual_seed(1)
+    hf = transformers.WavLMModel(hf_cfg).eval()
+    cfg = WavLMConfig(
+        hidden_size=TINY["hidden_size"],
+        num_layers=TINY["num_hidden_layers"],
+        num_heads=TINY["num_attention_heads"],
+        intermediate_size=TINY["intermediate_size"],
+        conv_dim=TINY["conv_dim"],
+        conv_stride=TINY["conv_stride"],
+        conv_kernel=TINY["conv_kernel"],
+        num_buckets=TINY["num_buckets"],
+        max_distance=TINY["max_bucket_distance"],
+        num_conv_pos_embeddings=TINY["num_conv_pos_embeddings"],
+        num_conv_pos_embedding_groups=TINY["num_conv_pos_embedding_groups"],
+        feat_extract_norm="layer",
+        do_stable_layer_norm=True,
+    )
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params, unconverted = convert_wavlm_state_dict(sd, cfg)
+    assert unconverted == [], unconverted
+    assert "layer_norm" in params["feature_extractor"][1]
+    assert "bias" in params["feature_extractor"][0]
+
+    rng = np.random.RandomState(2)
+    wav = rng.randn(2, 800).astype(np.float32) * 0.1
+    with torch.no_grad():
+        theirs = hf(torch.from_numpy(wav)).last_hidden_state.numpy()
+    ours = np.asarray(wavlm_encode(params, cfg, jnp.asarray(wav)))
+    assert ours.shape == theirs.shape
+    np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4)
