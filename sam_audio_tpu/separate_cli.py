@@ -30,6 +30,14 @@ def main(argv=None):
                     help="temporal anchor in seconds; repeatable")
     ap.add_argument("--window-s", type=float, default=0.0,
                     help=">0 enables streaming windows for long audio")
+    ap.add_argument("--batch-windows", type=int, default=1,
+                    help="streaming: solve N windows per device call "
+                         "(throughput; results are grouping-invariant)")
+    ap.add_argument("--preview-nfe", type=int, default=0,
+                    help="opt-in fast reranking: rank candidates on cheap "
+                         "N-NFE previews, re-solve the winner at full NFE")
+    ap.add_argument("--int8", action="store_true",
+                    help="opt-in int8 serving mode (model.quantize())")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -39,6 +47,8 @@ def main(argv=None):
     from sam_audio_tpu.audio_io import write_wav
 
     model = SAMAudio.from_pretrained(args.model)
+    if args.int8:
+        model.quantize()
     anchors = [("+", s, e) for s, e in (args.spans or [])] or None
     rng = jax.random.PRNGKey(args.seed)
     os.makedirs(args.out, exist_ok=True)
@@ -55,6 +65,7 @@ def main(argv=None):
         res = separate_streaming(
             model, args.description, wav, window_s=args.window_s,
             anchors=anchors, reranking_candidates=args.candidates, rng=rng,
+            batch_windows=args.batch_windows,
         )
         target, residual = res.target, res.residual
         print(f"streamed {res.num_windows} windows")
@@ -67,6 +78,7 @@ def main(argv=None):
         result = model.separate(
             batch, reranking_candidates=args.candidates,
             predict_spans=args.predict_spans, rng=rng,
+            preview_nfe=args.preview_nfe or None,
         )
         target, residual = result.target[0], result.residual[0]
 

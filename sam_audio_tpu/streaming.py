@@ -19,6 +19,7 @@ from dataclasses import dataclass
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from sam_audio_tpu.processor import Anchor, SAMAudioProcessor
@@ -51,10 +52,19 @@ def separate_streaming(
     reranking_candidates: int = 1,
     rng: Optional[jax.Array] = None,
     processor: Optional[SAMAudioProcessor] = None,
+    batch_windows: int = 1,
 ) -> StreamingResult:
     """audio: (T,) or (channels, T) at model.sample_rate. Returns full-length
     target/residual. Anchors are in absolute seconds and are clipped per
-    window."""
+    window.
+
+    `batch_windows` > 1 solves that many windows per separate() call (the
+    last group is padded to keep one compiled program). A lone 10 s window
+    underfills the chip at k=1; batching windows recovers the batched-matmul
+    regime (measured on one v5e chip, 120 s at k=1: 15.7x realtime at
+    bw=1 -> 25.2x at bw=8). Noise is derived per absolute window index, so
+    outputs are grouping-invariant (up to float reassociation in batched
+    matmuls)."""
     sr = model.sample_rate
     hop = model.hop_length
     processor = processor or SAMAudioProcessor(
@@ -83,36 +93,55 @@ def separate_streaming(
     out_r = np.zeros(total, np.float32)
     norm = np.zeros(total, np.float32)
 
-    for i in range(n_windows):
-        start = min(i * stride, total - win)
-        chunk = wav[start : start + win]
-        win_anchors = None
+    k = reranking_candidates
+    bw = max(int(batch_windows), 1)
+    t_frames = win // hop
+    latent_ch = 2 * model.cfg.audio_codec.codebook_dim
+
+    def clip_anchors(start: int) -> List[Anchor]:
+        s0 = start / sr
+        s1 = (start + win) / sr
+        return [
+            (tok, max(a, s0) - s0, min(b, s1) - s0)
+            for tok, a, b in (anchors or [])
+            if min(b, s1) > max(a, s0)
+        ]
+
+    for g0 in range(0, n_windows, bw):
+        group = list(range(g0, min(g0 + bw, n_windows)))
+        starts = [min(i * stride, total - win) for i in group]
+        # pad the last group (repeat final window) so every separate() call
+        # compiles to the same (bw, win) program; padded outputs are dropped
+        pad_idx = group + [group[-1]] * (bw - len(group))
+        pad_starts = starts + [starts[-1]] * (bw - len(group))
+        chunks = [wav[s: s + win][None] for s in pad_starts]
+        group_anchors = None
         if anchors:
-            s0 = start / sr
-            s1 = (start + win) / sr
-            clipped = [
-                (tok, max(a, s0) - s0, min(b, s1) - s0)
-                for tok, a, b in anchors
-                if min(b, s1) > max(a, s0)
-            ]
-            win_anchors = [clipped] if clipped else None
-        batch = processor(descriptions=[description], audios=[chunk[None]],
-                          anchors=win_anchors)
-        res = model.separate(
-            batch, reranking_candidates=reranking_candidates,
-            rng=jax.random.fold_in(rng, i),
-        )
-        w = _crossfade_weights(win, fade)
-        # edges of the full signal keep full weight (no fade-in at t=0 etc.)
-        if i == 0:
-            w = w.copy()
-            w[:fade] = 1.0
-        if start + win >= total:
-            w = w.copy()
-            w[-fade:] = 1.0
-        out_t[start : start + win] += np.asarray(res.target[0])[:win] * w
-        out_r[start : start + win] += np.asarray(res.residual[0])[:win] * w
-        norm[start : start + win] += w
+            per_win = [clip_anchors(s) for s in pad_starts]
+            if any(per_win):
+                group_anchors = per_win
+        batch = processor(descriptions=[description] * bw, audios=chunks,
+                          anchors=group_anchors)
+        # noise keyed by ABSOLUTE window index, matching what separate()
+        # would draw per window at bw=1 — results are grouping-invariant
+        noise = jnp.concatenate([
+            jax.random.normal(jax.random.fold_in(rng, i),
+                              (k, t_frames, latent_ch), jnp.float32)
+            for i in pad_idx
+        ])
+        res = model.separate(batch, reranking_candidates=k, noise=noise)
+        for j, (i, start) in enumerate(zip(group, starts)):
+            w = _crossfade_weights(win, fade)
+            # edges of the full signal keep full weight (no fade-in at t=0)
+            if i == 0:
+                w = w.copy()
+                w[:fade] = 1.0
+            if start + win >= total:
+                w = w.copy()
+                w[-fade:] = 1.0
+            out_t[start: start + win] += np.asarray(res.target[j])[:win] * w
+            out_r[start: start + win] += np.asarray(res.residual[j])[:win] * w
+            norm[start: start + win] += w
 
     norm = np.maximum(norm, 1e-8)
     return StreamingResult(out_t / norm, out_r / norm, n_windows)

@@ -68,3 +68,29 @@ def test_streaming_deterministic():
     r2 = separate_streaming(model, "a", wav, window_s=1.0, overlap_s=0.2,
                             rng=jax.random.PRNGKey(9))
     np.testing.assert_array_equal(r1.target, r2.target)
+
+
+def test_batched_windows_match_sequential():
+    """batch_windows groups windows into one separate() call; noise is keyed
+    by absolute window index so the output is grouping-invariant up to float
+    reassociation in the batched matmuls (incl. the padded last group)."""
+    model = make_model()
+    wav = np.random.RandomState(3).randn(520).astype(np.float32) * 0.1
+    kw = dict(window_s=0.02, overlap_s=0.004, rng=jax.random.PRNGKey(7))
+    seq = separate_streaming(model, "dog", wav, **kw)
+    assert seq.num_windows > 3  # multiple groups incl. a partial one
+    for bw in (2, 4):
+        got = separate_streaming(model, "dog", wav, batch_windows=bw, **kw)
+        assert got.num_windows == seq.num_windows
+        np.testing.assert_allclose(got.target, seq.target, atol=1e-5)
+        np.testing.assert_allclose(got.residual, seq.residual, atol=1e-5)
+
+
+def test_batched_windows_with_anchors_and_k():
+    model = make_model()
+    wav = np.random.RandomState(4).randn(400).astype(np.float32) * 0.1
+    kw = dict(window_s=0.02, overlap_s=0.004, rng=jax.random.PRNGKey(8),
+              anchors=[("+", 0.0, 0.03)], reranking_candidates=2)
+    seq = separate_streaming(model, "dog", wav, **kw)
+    got = separate_streaming(model, "dog", wav, batch_windows=3, **kw)
+    np.testing.assert_allclose(got.target, seq.target, atol=1e-6)
