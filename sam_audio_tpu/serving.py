@@ -42,7 +42,7 @@ class SeparationPipeline:
     def __init__(self, model, processor: Optional[SAMAudioProcessor] = None,
                  max_batch: int = 4, bucket_seconds: float = 2.0,
                  reranking_candidates: int = 1, predict_spans: bool = False,
-                 num_io_threads: int = 4):
+                 num_io_threads: int = 4, preview_nfe: Optional[int] = None):
         self.model = model
         self.processor = processor or SAMAudioProcessor(
             audio_hop_length=model.hop_length,
@@ -54,6 +54,7 @@ class SeparationPipeline:
         )
         self.reranking_candidates = reranking_candidates
         self.predict_spans = predict_spans
+        self.preview_nfe = preview_nfe  # opt-in fast rerank (separate())
         self.num_io_threads = num_io_threads
         self.timer = StageTimer()
 
@@ -105,6 +106,7 @@ class SeparationPipeline:
                     batch,
                     reranking_candidates=self.reranking_candidates,
                     predict_spans=self.predict_spans,
+                    preview_nfe=self.preview_nfe,
                 )
             for j, idx in enumerate(group):
                 responses[idx] = SeparationResponse(
