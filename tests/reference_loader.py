@@ -163,3 +163,36 @@ def ref_module(name: str):
     """Get a loaded reference submodule, e.g. ref_module('transformer')."""
     load_reference()
     return sys.modules[f"sam_audio.model.{name}"]
+
+
+def load_reference_processor():
+    """Load the REAL reference processor.py (stubbing torchaudio/torchcodec,
+    which the tensor-input paths never touch). Returns the module."""
+    if "sam_audio.processor" in sys.modules:
+        return sys.modules["sam_audio.processor"]
+
+    load_reference()  # sam_audio package skeleton + real config module
+
+    if "torchaudio" not in sys.modules:
+        ta = _stub("torchaudio")
+
+        def _unavailable(*a, **k):
+            raise RuntimeError("torchaudio stubbed out in tests")
+
+        ta.load = _unavailable
+        ta.functional = types.SimpleNamespace(resample=_unavailable)
+
+    if "torchcodec" not in sys.modules:
+        tc = _stub("torchcodec")
+        dec = _stub("torchcodec.decoders")
+
+        class _UnavailableDecoder:
+            def __init__(self, *a, **k):
+                raise RuntimeError("torchcodec stubbed out in tests")
+
+        dec.AudioDecoder = _UnavailableDecoder
+        dec.VideoDecoder = _UnavailableDecoder
+        tc.decoders = dec
+
+    return _exec_module("sam_audio.processor",
+                        "/root/reference/sam_audio/processor.py")
