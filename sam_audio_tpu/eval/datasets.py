@@ -112,10 +112,12 @@ class SAMAudioBench:
             masklet = masklet[idxs]
         mask = masklet[:, None]  # (N, 1, h, w)
         if mask.shape[-2:] != frames.shape[-2:]:
-            # nearest-neighbor spatial resize of the mask
+            # nearest-neighbor spatial resize of the mask; index grid matches
+            # torch F.interpolate's nearest exactly (floor(i * in / out) —
+            # the reference resizes with F.interpolate, sam_audio_bench.py:109)
             h, w = frames.shape[-2:]
-            yi = (np.linspace(0, mask.shape[-2] - 1e-6, h)).astype(int)
-            xi = (np.linspace(0, mask.shape[-1] - 1e-6, w)).astype(int)
+            yi = np.arange(h) * mask.shape[-2] // h
+            xi = np.arange(w) * mask.shape[-1] // w
             mask = mask[:, :, yi][:, :, :, xi]
         return frames * mask
 

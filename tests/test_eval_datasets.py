@@ -126,3 +126,22 @@ def test_iter_batches_sharded():
     b1 = list(iter_batches(ds, 2, rank=1, world=2))
     got = sorted(x for b in b0 + b1 for x in b)
     assert got == list(range(7))
+
+
+def test_mask_spatial_resize_matches_torch_interpolate():
+    """The masklet's nearest spatial resize must match the reference's
+    F.interpolate(mask, size) exactly (sam_audio_bench.py:108-109)."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    for (h0, w0, h, w) in [(5, 7, 12, 13), (3, 3, 8, 8), (10, 4, 7, 9)]:
+        mask = (rng.rand(2, 1, h0, w0) > 0.5).astype(np.float32)
+        yi = np.arange(h) * h0 // h
+        xi = np.arange(w) * w0 // w
+        ours = mask[:, :, yi][:, :, :, xi]
+        want = F.interpolate(torch.from_numpy(mask), size=(h, w)).numpy()
+        np.testing.assert_array_equal(ours, want)
