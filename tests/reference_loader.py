@@ -168,8 +168,10 @@ def ref_module(name: str):
 def load_reference_processor():
     """Load the REAL reference processor.py (stubbing torchaudio/torchcodec,
     which the tensor-input paths never touch). Returns the module."""
-    if "sam_audio.processor" in sys.modules:
-        return sys.modules["sam_audio.processor"]
+    cached = sys.modules.get("sam_audio.processor")
+    if cached is not None and hasattr(cached, "SAMAudioProcessor"):
+        return cached  # real module already executed (load_reference()
+        # pre-installs a thin stub under the same name — don't return that)
 
     load_reference()  # sam_audio package skeleton + real config module
 
