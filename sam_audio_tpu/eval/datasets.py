@@ -34,6 +34,16 @@ class Item:
     description: str
 
 
+def _nearest_grid(out_len: int, in_len: int) -> np.ndarray:
+    """Nearest-neighbor index grid matching torch F.interpolate exactly:
+    floor(i * scale) with the scale computed in float32, like torch's
+    kernel — exact integer floor(i*in//out) disagrees on ~3% of size pairs."""
+    scale = np.float32(in_len) / np.float32(out_len)
+    idx = np.floor(np.arange(out_len, dtype=np.float32) * scale).astype(
+        np.int64)
+    return np.clip(idx, 0, in_len - 1)
+
+
 class SAMAudioBench:
     """facebook/sam-audio-bench metadata (HF datasets) + local mp4 cache.
 
@@ -112,13 +122,11 @@ class SAMAudioBench:
             masklet = masklet[idxs]
         mask = masklet[:, None]  # (N, 1, h, w)
         if mask.shape[-2:] != frames.shape[-2:]:
-            # nearest-neighbor spatial resize of the mask; index grid matches
-            # torch F.interpolate's nearest exactly (floor(i * in / out) —
-            # the reference resizes with F.interpolate, sam_audio_bench.py:109)
+            # nearest-neighbor spatial resize of the mask (the reference
+            # resizes with F.interpolate, sam_audio_bench.py:109)
             h, w = frames.shape[-2:]
-            yi = np.arange(h) * mask.shape[-2] // h
-            xi = np.arange(w) * mask.shape[-1] // w
-            mask = mask[:, :, yi][:, :, :, xi]
+            mask = mask[:, :, _nearest_grid(h, mask.shape[-2])]
+            mask = mask[:, :, :, _nearest_grid(w, mask.shape[-1])]
         return frames * mask
 
     def __getitem__(self, idx) -> Item:

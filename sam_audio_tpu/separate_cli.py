@@ -66,6 +66,7 @@ def main(argv=None):
             model, args.description, wav, window_s=args.window_s,
             anchors=anchors, reranking_candidates=args.candidates, rng=rng,
             batch_windows=args.batch_windows,
+            preview_nfe=args.preview_nfe or None,
         )
         target, residual = res.target, res.residual
         print(f"streamed {res.num_windows} windows")

@@ -53,6 +53,7 @@ def separate_streaming(
     rng: Optional[jax.Array] = None,
     processor: Optional[SAMAudioProcessor] = None,
     batch_windows: int = 1,
+    preview_nfe: Optional[int] = None,
 ) -> StreamingResult:
     """audio: (T,) or (channels, T) at model.sample_rate. Returns full-length
     target/residual. Anchors are in absolute seconds and are clipped per
@@ -85,7 +86,7 @@ def separate_streaming(
         batch = processor(descriptions=[description], audios=[wav[None]],
                           anchors=[anchors] if anchors else None)
         res = model.separate(batch, reranking_candidates=reranking_candidates,
-                             rng=rng)
+                             rng=rng, preview_nfe=preview_nfe)
         return StreamingResult(res.target[0], res.residual[0], 1)
 
     n_windows = 1 + math.ceil((total - win) / stride)
@@ -95,7 +96,6 @@ def separate_streaming(
 
     k = reranking_candidates
     bw = max(int(batch_windows), 1)
-    t_frames = win // hop
     latent_ch = 2 * model.cfg.audio_codec.codebook_dim
 
     def clip_anchors(start: int) -> List[Anchor]:
@@ -123,13 +123,17 @@ def separate_streaming(
         batch = processor(descriptions=[description] * bw, audios=chunks,
                           anchors=group_anchors)
         # noise keyed by ABSOLUTE window index, matching what separate()
-        # would draw per window at bw=1 — results are grouping-invariant
+        # would draw per window at bw=1 — results are grouping-invariant;
+        # frame count comes from the processed batch, the same source
+        # separate() uses internally
+        t_frames = batch.anchor_alignment.shape[-1]
         noise = jnp.concatenate([
             jax.random.normal(jax.random.fold_in(rng, i),
                               (k, t_frames, latent_ch), jnp.float32)
             for i in pad_idx
         ])
-        res = model.separate(batch, reranking_candidates=k, noise=noise)
+        res = model.separate(batch, reranking_candidates=k, noise=noise,
+                             preview_nfe=preview_nfe)
         for j, (i, start) in enumerate(zip(group, starts)):
             w = _crossfade_weights(win, fade)
             # edges of the full signal keep full weight (no fade-in at t=0)

@@ -137,11 +137,22 @@ def test_mask_spatial_resize_matches_torch_interpolate():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
 
+    from sam_audio_tpu.eval.datasets import _nearest_grid as grid
+
     rng = np.random.RandomState(0)
-    for (h0, w0, h, w) in [(5, 7, 12, 13), (3, 3, 8, 8), (10, 4, 7, 9)]:
+    # incl. (32, 82): a pair where exact-integer floor(i*in//out) disagrees
+    # with torch's float32-scale floor
+    sizes = [(5, 7, 12, 13), (3, 3, 8, 8), (10, 4, 7, 9), (32, 32, 82, 82)]
+    for (h0, w0, h, w) in sizes:
         mask = (rng.rand(2, 1, h0, w0) > 0.5).astype(np.float32)
-        yi = np.arange(h) * h0 // h
-        xi = np.arange(w) * w0 // w
-        ours = mask[:, :, yi][:, :, :, xi]
+        ours = mask[:, :, grid(h, h0)][:, :, :, grid(w, w0)]
         want = F.interpolate(torch.from_numpy(mask), size=(h, w)).numpy()
         np.testing.assert_array_equal(ours, want)
+    # exhaustive 1-D sweep against torch
+    for h0 in range(1, 40):
+        for h in range(1, 60):
+            m = torch.arange(h0, dtype=torch.float32).reshape(1, 1, h0, 1)
+            want = F.interpolate(m, size=(h, 1)).numpy().reshape(-1)
+            np.testing.assert_array_equal(
+                np.arange(h0, dtype=np.float32)[grid(h, h0)], want,
+                err_msg=f"{h0}->{h}")

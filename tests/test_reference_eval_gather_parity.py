@@ -16,24 +16,30 @@ torch = pytest.importorskip("torch")
 from sam_audio_tpu.eval.main import gather_and_average_results
 
 
-def _load_reference_eval_main(fake_gathered):
+def _load_reference_eval_main(monkeypatch, fake_gathered):
     """Execute the real eval/main.py with torch.distributed's
     all_gather_object replaced by a playback of `fake_gathered` and the
-    heavy sam_audio imports stubbed (only gather_and_average_results runs)."""
-    from reference_loader import _stub, load_reference
+    heavy sam_audio imports stubbed (only gather_and_average_results runs).
+    All sys.modules edits are scoped to the test via monkeypatch."""
+    from reference_loader import load_reference
 
     load_reference()
     # eval/main.py's module-level imports: the public sam_audio surface plus
     # its sibling `dataset`/`metrics` packages — none used by the function
-    # under test
-    sys.modules["sam_audio"].SAMAudio = object
-    sys.modules["sam_audio"].SAMAudioProcessor = object
-    dataset_pkg = _stub("dataset")
+    # under test. `dataset`/`metrics` are generic top-level names ("metrics"
+    # is a real PyPI package), so never install them permanently.
+    monkeypatch.setattr(sys.modules["sam_audio"], "SAMAudio", object,
+                        raising=False)
+    monkeypatch.setattr(sys.modules["sam_audio"], "SAMAudioProcessor",
+                        object, raising=False)
+    dataset_pkg = types.ModuleType("dataset")
     dataset_pkg.SETTINGS = {}
     dataset_pkg.make_dataset = lambda *a, **k: None
-    metrics_pkg = _stub("metrics")
+    monkeypatch.setitem(sys.modules, "dataset", dataset_pkg)
+    metrics_pkg = types.ModuleType("metrics")
     for cls in ("Judge", "Aesthetic", "CLAP", "ImageBind"):
         setattr(metrics_pkg, cls, object)
+    monkeypatch.setitem(sys.modules, "metrics", metrics_pkg)
 
     spec = importlib.util.spec_from_file_location(
         "ref_eval_main", "/root/reference/eval/main.py")
@@ -56,9 +62,9 @@ def _rows(rank, n=4):
     ]
 
 
-def test_single_process_mean_matches_reference():
+def test_single_process_mean_matches_reference(monkeypatch):
     rows = _rows(0)
-    mod = _load_reference_eval_main(fake_gathered=[])
+    mod = _load_reference_eval_main(monkeypatch, fake_gathered=[])
     want = mod.gather_and_average_results(pd.DataFrame(rows), world_size=1)
     got = gather_and_average_results(rows, multihost=False)
     assert set(want) == set(got)
@@ -66,13 +72,13 @@ def test_single_process_mean_matches_reference():
         np.testing.assert_allclose(got[k], want[k], rtol=1e-9)
 
 
-def test_multirank_aggregation_matches_reference():
+def test_multirank_aggregation_matches_reference(monkeypatch):
     per_rank = [_rows(r, n=3 + r) for r in range(3)]
     gathered = [
         {"sum": pd.DataFrame(rows).sum().to_json(), "count": len(rows)}
         for rows in per_rank
     ]
-    mod = _load_reference_eval_main(fake_gathered=gathered)
+    mod = _load_reference_eval_main(monkeypatch, fake_gathered=gathered)
     want = mod.gather_and_average_results(pd.DataFrame(per_rank[0]),
                                           world_size=3)
 

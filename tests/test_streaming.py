@@ -78,8 +78,8 @@ def test_batched_windows_match_sequential():
     wav = np.random.RandomState(3).randn(520).astype(np.float32) * 0.1
     kw = dict(window_s=0.02, overlap_s=0.004, rng=jax.random.PRNGKey(7))
     seq = separate_streaming(model, "dog", wav, **kw)
-    assert seq.num_windows > 3  # multiple groups incl. a partial one
-    for bw in (2, 4):
+    assert seq.num_windows == 4  # bw=3 -> groups [3, 1(padded)]; bw=5 -> [4(padded)]
+    for bw in (2, 3, 4, 5):
         got = separate_streaming(model, "dog", wav, batch_windows=bw, **kw)
         assert got.num_windows == seq.num_windows
         np.testing.assert_allclose(got.target, seq.target, atol=1e-5)
