@@ -3,7 +3,18 @@
 Measures the BASELINE.md north-star metric: audio-seconds separated per
 wall-clock second per chip, at reranking_candidates=8 on 10 s clips — the
 full jitted pipeline (DAC-VAE encode -> T5 text encode -> 32-NFE midpoint ODE
-over the 1B-param DiT -> DAC-VAE decode to 2x8 waveforms).
+over the 1B-param DiT -> DAC-VAE decode of all k targets -> ON-DEVICE
+candidate scoring with the real CLAP tower (HTSAT-tiny audio branch +
+RoBERTa text branch, compiled into the same XLA program) -> argmax ->
+decode of the winner's residual. This matches the reference's end-to-end
+`separate(reranking_candidates=8)` semantics where reranking happens inside
+separate (reference sam_audio/model/model.py:306-330) and the BASELINE.json
+north star ("CLAP/Judge/ImageBind scorers compiled on device").
+
+--ranker judge times the full judge stack instead (ModernBERT text tower +
+DAC-VAE encoder on mixture+candidate pairs + 2x PE-AV transformers, reference
+sam_audio/model/judge.py:90-132). --ranker energy keeps the old scorer-free
+stand-in for A/B-ing scorer cost.
 
 Prints ONE JSON line:
   {"metric": "audio_sec_per_sec_per_chip", "value": X, "unit": "audio_sec/sec",
@@ -32,8 +43,26 @@ except Exception:
     pass
 
 
+def _gen_random_like(init_fn, key, scale: float = 0.02):
+    """Materialize a random param tree in ONE fused XLA program instead of one
+    RNG dispatch per leaf (the relay-attached backend pays ~25 ms/dispatch)."""
+    shapes = jax.eval_shape(init_fn, key)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+
+    @jax.jit
+    def _gen(k):
+        keys = jax.random.split(k, len(leaves))
+        return [
+            jax.random.normal(kk, s.shape, s.dtype) * scale
+            for kk, s in zip(keys, leaves)
+        ]
+
+    return jax.tree_util.tree_unflatten(treedef, _gen(key))
+
+
 def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
-         iters: int = 3, preview_nfe: int = 0, int8: bool = False):
+         iters: int = 3, preview_nfe: int = 0, int8: bool = False,
+         ranker: str = "clap"):
     from sam_audio_tpu.config import SAMAudioConfig
     from sam_audio_tpu.models.sam_audio import (
         decode_channel,
@@ -49,23 +78,10 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     t0 = time.time()
-    # one fused generation program instead of one RNG dispatch per param
-    # (the relay-attached backend pays ~25 ms per dispatch)
-    shapes = jax.eval_shape(
+    params = _gen_random_like(
         lambda k: sam_audio_init(k, cfg, dtype=jnp.bfloat16),
         jax.random.PRNGKey(0),
     )
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-
-    @jax.jit
-    def _gen(key):
-        keys = jax.random.split(key, len(leaves))
-        return [
-            jax.random.normal(k, s.shape, s.dtype) * 0.02
-            for k, s in zip(keys, leaves)
-        ]
-
-    params = jax.tree_util.tree_unflatten(treedef, _gen(jax.random.PRNGKey(0)))
     print(f"init: {num_params(params)/1e9:.2f}B params in {time.time()-t0:.1f}s",
           file=sys.stderr)
     if int8:
@@ -83,8 +99,9 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
 
     rng = np.random.RandomState(0)
     audios = jnp.asarray(rng.randn(batch, 1, t_wav).astype(np.float32) * 0.1)
+    descriptions = ["a dog barking in the distance"] * batch
     tok = ByteFallbackTokenizer(cfg.text_encoder.vocab_size)
-    ids, mask = tok(["a dog barking in the distance"] * batch)
+    ids, mask = tok(descriptions)
     text_ids = jnp.asarray(ids)
     text_mask = jnp.asarray(mask)
     anchor_ids = jnp.zeros((batch, 4), jnp.int32).at[:, 1:].set(3)
@@ -96,21 +113,86 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         jnp.float32,
     )
 
+    # --- candidate scorer, compiled INTO the separation program -------------
+    # The reference reranks inside separate() (model.py:306-330); the measured
+    # step must therefore pay the scorer's forward. Weights are random (this
+    # is a throughput bench) but the architecture/compute is the real tower.
+    compute_dtype = jnp.dtype(cfg.compute_dtype)
+    if ranker == "clap":
+        from sam_audio_tpu.models.clap import (
+            ClapConfig,
+            clap_audio_embed,
+            clap_init,
+            clap_text_embed,
+        )
+        from sam_audio_tpu.text_tokenizer import get_roberta_tokenizer
+
+        clap_cfg = ClapConfig()
+        aux = _gen_random_like(
+            lambda k: clap_init(k, clap_cfg, jnp.bfloat16), jax.random.PRNGKey(7)
+        )
+        c_ids, c_mask = get_roberta_tokenizer(clap_cfg.text_vocab)(
+            descriptions, max_length=clap_cfg.max_text_len
+        )
+        c_ids, c_mask = jnp.asarray(c_ids), jnp.asarray(c_mask)
+        # clap_audio_embed repeat-pads/center-truncates to the 10 s CLAP
+        # window internally (fit_duration), so any bench --seconds works
+
+        def score_candidates(aux, targets):
+            # HTSAT-tiny swin audio tower + RoBERTa text tower, both on-device
+            a_emb = clap_audio_embed(aux, clap_cfg, targets, compute_dtype)
+            t_emb = clap_text_embed(aux, clap_cfg, c_ids, c_mask, compute_dtype)
+            return jnp.einsum(
+                "bkd,bd->bk", a_emb.reshape(batch, candidates, -1), t_emb
+            )
+    elif ranker == "judge":
+        from sam_audio_tpu.config import SAMAudioJudgeConfig
+        from sam_audio_tpu.models.judge import judge_forward, judge_init
+
+        jcfg = SAMAudioJudgeConfig()
+        aux = _gen_random_like(
+            lambda k: judge_init(k, jcfg, jnp.bfloat16), jax.random.PRNGKey(7)
+        )
+        j_ids = jnp.asarray(
+            ByteFallbackTokenizer(jcfg.text_model.vocab_size)(descriptions)[0]
+        )
+        j_ids_rep = jnp.repeat(j_ids, candidates, axis=0)
+
+        def score_candidates(aux, targets):
+            # full judge stack: ModernBERT + DAC-VAE encoder on (mixture,
+            # candidate) pairs + shared/finetune PE-AV transformers
+            mix_rep = jnp.repeat(audios, candidates, axis=0)
+            out = judge_forward(
+                aux, jcfg, input_ids=j_ids_rep, input_values=mix_rep,
+                separated_values=targets[:, None, :],
+                compute_dtype=compute_dtype,
+            )
+            return out.overall.reshape(batch, candidates)
+    elif ranker == "energy":
+        aux = {}
+
+        def score_candidates(aux, targets):
+            return jnp.sum(jnp.square(targets), axis=-1).reshape(
+                batch, candidates)
+    else:
+        raise SystemExit(f"unknown --ranker {ranker!r} (clap|judge|energy)")
+    print(f"ranker: {ranker} (scorer compiled on device)", file=sys.stderr)
+
     # ONE fused XLA program per request: encode -> ODE -> decode k targets ->
-    # on-device candidate selection (energy-argmax stand-in) -> lazy residual
-    # decode of the winner. Nested jits inline, so this is a single dispatch —
-    # the relay-attached backend pays ~25 ms per dispatch, so collapsing the
-    # 4-program pipeline into one is a direct latency win.
+    # on-device candidate scoring (real ranker tower) -> lazy residual decode
+    # of the winner. Nested jits inline, so this is a single dispatch — the
+    # relay-attached backend pays ~25 ms per dispatch, so collapsing the
+    # multi-program pipeline into one is a direct latency win.
     @partial(jax.jit, static_argnames=())
-    def step(params, noise):
+    def step(params, aux, noise):
         latents = separate_latents(
             params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
             audio_pad_mask, noise, None,
             cfg=cfg, candidates=candidates, use_video=False,
         )
         targets = decode_channel(params, latents, cfg=cfg, channel=0)
-        energy = jnp.sum(jnp.square(targets), axis=-1).reshape(batch, candidates)
-        idxs = jnp.argmax(energy, axis=-1).astype(jnp.int32)
+        scores = score_candidates(aux, targets)
+        idxs = jnp.argmax(scores, axis=-1).astype(jnp.int32)
         chosen = gather_candidates(latents, idxs, cfg=cfg,
                                    candidates=candidates)
         residual = decode_channel(params, chosen, cfg=cfg, channel=1)
@@ -119,7 +201,7 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
 
     @partial(jax.jit, static_argnames=())
-    def step_preview(params, noise):
+    def step_preview(params, aux, noise):
         # preview-NFE reranking: cheap candidate solves, full solve for
         # the winner (separate(preview_nfe=...) opt-in mode)
         preview = separate_latents(
@@ -129,9 +211,8 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             ode_step_size=2.0 / preview_nfe,
         )
         targets_prev = decode_channel(params, preview, cfg=cfg, channel=0)
-        energy = jnp.sum(jnp.square(targets_prev), axis=-1).reshape(
-            batch, candidates)
-        idxs = jnp.argmax(energy, axis=-1).astype(jnp.int32)
+        scores = score_candidates(aux, targets_prev)
+        idxs = jnp.argmax(scores, axis=-1).astype(jnp.int32)
         chosen_noise = gather_candidates(noise, idxs, cfg=cfg,
                                          candidates=candidates)
         chosen = separate_latents(
@@ -144,7 +225,8 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
 
     def run():
-        targets, residual, csum = (step_preview if preview_nfe else step)(params, noise)
+        targets, residual, csum = (step_preview if preview_nfe else step)(
+            params, aux, noise)
         float(csum)  # sync point
         return targets, residual
 
@@ -189,6 +271,11 @@ if __name__ == "__main__":
                     help="opt-in fast-rerank mode (see separate(preview_nfe=))")
     ap.add_argument("--int8", action="store_true",
                     help="opt-in int8 DiT serving mode (SAMAudio.quantize())")
+    ap.add_argument("--ranker", choices=("clap", "judge", "energy"),
+                    default="clap",
+                    help="candidate scorer compiled into the measured step "
+                         "(default: real CLAP tower, matching the reference's "
+                         "in-separate reranking)")
     args = ap.parse_args()
     main(args.candidates, args.seconds, args.batch, args.iters,
-         args.preview_nfe, args.int8)
+         args.preview_nfe, args.int8, args.ranker)

@@ -747,9 +747,17 @@ def _load_torch_state_dict(path: str, key: Optional[str] = None
 
 
 def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
+                   revision: Optional[str] = None,
+                   allow_random_towers: bool = False,
                    **config_overrides):
     """Load from a local snapshot dir (config.json + checkpoint.pt or
-    params.npz) or an HF repo id. Returns a models.sam_audio.SAMAudio."""
+    params.npz) or an HF repo id. Returns a models.sam_audio.SAMAudio.
+
+    `revision` pins the HF snapshot revision, mirroring the reference's
+    `BaseModel._from_pretrained(revision=...)` (sam_audio/model/base.py:27-45;
+    e.g. the judge lives at revision "sam_audio"). `allow_random_towers=True`
+    (tests only) lets missing sub-towers (T5, ranker weights) fall back to
+    random init instead of raising."""
     from sam_audio_tpu.models.sam_audio import SAMAudio, sam_audio_init
     from sam_audio_tpu.ranking import create_ranker
     import jax
@@ -759,7 +767,8 @@ def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
     else:
         from huggingface_hub import snapshot_download
 
-        snapshot = snapshot_download(repo_id=model_id_or_path)
+        snapshot = snapshot_download(repo_id=model_id_or_path,
+                                     revision=revision)
 
     with open(os.path.join(snapshot, "config.json")) as fin:
         cfg_dict = json.load(fin)
@@ -794,6 +803,15 @@ def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
             t5sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
             params["text_encoder"] = convert_t5_state_dict(t5sd, cfg.text_encoder)
         except Exception:
+            if not allow_random_towers:
+                raise FileNotFoundError(
+                    f"T5 text tower '{cfg.text_encoder.name}' is not available "
+                    "locally and no t5_path= was given. Stage the HF weights "
+                    "(or convert with scripts/convert_checkpoint.py t5) — the "
+                    "reference always loads the real T5 "
+                    "(sam_audio/model/text_encoder.py:14). Pass "
+                    "allow_random_towers=True only for tests."
+                )
             params["text_encoder"] = sam_audio_init(
                 jax.random.PRNGKey(0), cfg
             )["text_encoder"]
@@ -829,8 +847,11 @@ def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
 
     model = SAMAudio(
         cfg, params,
-        visual_ranker=create_ranker(cfg.visual_ranker),
-        text_ranker=create_ranker(cfg.text_ranker),
+        visual_ranker=create_ranker(cfg.visual_ranker,
+                                    allow_random=allow_random_towers),
+        text_ranker=create_ranker(cfg.text_ranker,
+                                  allow_random=allow_random_towers),
         span_predictor=span_predictor,
+        allow_random_towers=allow_random_towers,
     )
     return model

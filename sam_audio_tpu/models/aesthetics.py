@@ -130,6 +130,15 @@ class AudioboxAesthetics:
     params: {"wavlm": <models.wavlm tree>,
              "heads": {axis: [linear, ...]}   # GELU between stacked linears
              "target_transform": {axis: {"mean": s, "std": s}}  (optional)}
+
+    ASSUMPTION (unverifiable here, zero egress): the head activation (exact
+    GELU between stacked linears) and the final-hidden masked-mean pooling
+    match the published audiobox-aesthetics predictor; the converter-side
+    parity test round-trips a self-constructed checkpoint, so a divergence in
+    either choice on the real checkpoint would score silently wrong. Missing
+    extra params (e.g. layer-sum weights) WOULD fail loudly via the
+    unconverted-key check. Cross-check against audiobox_aesthetics source
+    when package access is available.
     """
 
     def __init__(self, cfg: AudioboxAestheticsConfig, params):
@@ -296,11 +305,18 @@ def convert_aes_checkpoint(path: str, cfg: AudioboxAestheticsConfig):
         unconverted = [wrapper + back.get(k, k) for k in unconverted]
 
     heads = {}
+
+    def _natural(key: str):
+        # numeric-aware sort: 'proj_CE.2.weight' before 'proj_CE.10.weight'
+        # (lexicographic sort would misorder MLPs with >=10 submodules)
+        return [int(s) if s.isdigit() else s for s in key.split(".")]
+
     for ax in AXES:
         ax_keys = sorted(
-            k for k in head_keys
-            if axis_re.search(k) and axis_re.search(k).group(1).upper() == ax
-            and k.endswith(".weight"))
+            (k for k in head_keys
+             if axis_re.search(k) and axis_re.search(k).group(1).upper() == ax
+             and k.endswith(".weight")),
+            key=_natural)
         layers = []
         for wk in ax_keys:
             base = wk[: -len(".weight")]

@@ -333,6 +333,17 @@ def encode_videos(model, masked_videos, t_frames: int):
     (B, vision_dim, T) aligned to latent frames."""
     enc = getattr(model, "vision_encoder", None)
     if enc is None:
+        if not getattr(model, "allow_random_towers", False):
+            raise ValueError(
+                "Visual prompting requires a loaded PE-Core vision tower but "
+                "model.vision_encoder is None. Convert one with `python "
+                "scripts/convert_checkpoint.py pe-clip --torch <PE-Core-"
+                "L14-336.pt> --out pe_clip.npz` and attach "
+                "PerceptionEncoder(cfg, load_params(...)), or construct "
+                "SAMAudio(..., allow_random_towers=True) for tests only. The "
+                "reference always loads real PE weights "
+                "(sam_audio/model/vision_encoder.py:86-90)."
+            )
         enc = PerceptionEncoder.init_random(
             jax.random.PRNGKey(0), model.cfg.vision_encoder
         )

@@ -282,7 +282,7 @@ class SAMAudio:
 
     def __init__(self, cfg: SAMAudioConfig, params, tokenizer=None,
                  visual_ranker=None, text_ranker=None, span_predictor=None,
-                 vision_encoder=None):
+                 vision_encoder=None, allow_random_towers: bool = False):
         self.cfg = cfg
         self.params = params
         self._tokenizer = tokenizer
@@ -291,14 +291,19 @@ class SAMAudio:
         self.span_predictor = span_predictor
         # The PE-Core vision tower ships separately from checkpoint.pt
         # (reference model.py:346-359); attach a loaded PerceptionEncoder
-        # here, or leave None to lazily build one on first visual prompt.
+        # here. Without one, visual prompting fails loudly unless
+        # allow_random_towers=True (tests only — the reference always loads
+        # real PE weights, vision_encoder.py:86-90). `init_random` sets it,
+        # since a fully random model has no real weights to protect.
         self.vision_encoder = vision_encoder
+        self.allow_random_towers = allow_random_towers
 
     # -- constructors -------------------------------------------------------
 
     @classmethod
     def init_random(cls, key, cfg: SAMAudioConfig, tokenizer=None):
-        return cls(cfg, sam_audio_init(key, cfg), tokenizer=tokenizer)
+        return cls(cfg, sam_audio_init(key, cfg), tokenizer=tokenizer,
+                   allow_random_towers=True)
 
     @classmethod
     def from_pretrained(cls, model_id_or_path: str, **overrides):

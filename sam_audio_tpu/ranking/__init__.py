@@ -15,7 +15,11 @@ from sam_audio_tpu.config import (
 from sam_audio_tpu.ranking.ranker import EnsembleRanker, Ranker  # noqa: F401
 
 
-def create_ranker(config: Optional[RankerConfig]) -> Optional[Ranker]:
+def create_ranker(config: Optional[RankerConfig],
+                  allow_random: bool = False) -> Optional[Ranker]:
+    """Build a ranker from its config. `allow_random=True` (tests only) lets
+    weightless CLAP/ImageBind configs fall back to random init instead of
+    raising; real serving must stage converted checkpoints."""
     if config is None:
         return None
     if isinstance(config, SoundActivityRankerConfig):
@@ -25,7 +29,7 @@ def create_ranker(config: Optional[RankerConfig]) -> Optional[Ranker]:
     if isinstance(config, ClapRankerConfig):
         from sam_audio_tpu.ranking.clap import ClapRanker
 
-        return ClapRanker(config)
+        return ClapRanker(config, allow_random=allow_random)
     if isinstance(config, JudgeRankerConfig):
         from sam_audio_tpu.ranking.judge import JudgeRanker
 
@@ -33,11 +37,11 @@ def create_ranker(config: Optional[RankerConfig]) -> Optional[Ranker]:
     if isinstance(config, ImageBindRankerConfig):
         from sam_audio_tpu.ranking.imagebind import ImageBindRanker
 
-        return ImageBindRanker(config)
+        return ImageBindRanker(config, allow_random=allow_random)
     if isinstance(config, EnsembleRankerConfig):
         rankers, weights = [], []
         for _, (sub, weight) in config.items():
-            rankers.append(create_ranker(sub))
+            rankers.append(create_ranker(sub, allow_random=allow_random))
             weights.append(weight)
         return EnsembleRanker(rankers, weights)
     raise ValueError(f"Unknown ranker config: {config!r}")

@@ -13,15 +13,15 @@ from sam_audio_tpu.ranking.ranker import Ranker
 
 
 class ImageBindRanker(Ranker):
-    def __init__(self, config: ImageBindRankerConfig, model=None):
+    def __init__(self, config: ImageBindRankerConfig, model=None,
+                 allow_random: bool = False):
         self.config = config
         self._model = model
+        self.allow_random = allow_random
 
     @property
     def model(self):
         if self._model is None:
-            import jax
-
             from sam_audio_tpu.models.imagebind import ImageBindModel
 
             if self.config.checkpoint:
@@ -30,8 +30,23 @@ class ImageBindRanker(Ranker):
 
                 self._model = ImageBindModel(ImageBindConfig(),
                                              load_params(self.config.checkpoint))
-            else:
+            elif self.allow_random:
+                # explicit opt-in for tests/benchmarks only — random weights
+                # produce meaningless scores
+                import jax
+
                 self._model = ImageBindModel.init_random(jax.random.PRNGKey(0))
+            else:
+                raise ValueError(
+                    "ImageBindRanker has no weights: "
+                    "ImageBindRankerConfig.checkpoint is empty (convert an "
+                    "imagebind_huge checkpoint with `python "
+                    "scripts/convert_checkpoint.py imagebind --torch "
+                    "imagebind_huge.pth --out imagebind.npz` and set "
+                    "checkpoint=). The reference always loads real ranker "
+                    "weights (sam_audio/ranking/imagebind.py:23); pass "
+                    "allow_random=True only for tests."
+                )
         return self._model
 
     def __call__(

@@ -107,7 +107,8 @@ def separate_streaming(
             if min(b, s1) > max(a, s0)
         ]
 
-    for g0 in range(0, n_windows, bw):
+    def run_group(g0: int):
+        """Preprocess + device-solve one window group (worker thread)."""
         group = list(range(g0, min(g0 + bw, n_windows)))
         starts = [min(i * stride, total - win) for i in group]
         # pad the last group (repeat final window) so every separate() call
@@ -134,18 +135,32 @@ def separate_streaming(
         ])
         res = model.separate(batch, reranking_candidates=k, noise=noise,
                              preview_nfe=preview_nfe)
-        for j, (i, start) in enumerate(zip(group, starts)):
-            w = _crossfade_weights(win, fade)
-            # edges of the full signal keep full weight (no fade-in at t=0)
-            if i == 0:
-                w = w.copy()
-                w[:fade] = 1.0
-            if start + win >= total:
-                w = w.copy()
-                w[-fade:] = 1.0
-            out_t[start: start + win] += np.asarray(res.target[j])[:win] * w
-            out_r[start: start + win] += np.asarray(res.residual[j])[:win] * w
-            norm[start: start + win] += w
+        return group, starts, res
+
+    # Double-buffered pipeline (TODO item 6): one worker thread keeps the
+    # NEXT group's preprocess + device solve in flight while this thread
+    # does the crossfade/assembly of the current group, so host work
+    # overlaps device compute instead of serializing with it.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(run_group, 0)
+        for next_g0 in list(range(bw, n_windows, bw)) + [None]:
+            group, starts, res = fut.result()
+            if next_g0 is not None:
+                fut = pool.submit(run_group, next_g0)
+            for j, (i, start) in enumerate(zip(group, starts)):
+                w = _crossfade_weights(win, fade)
+                # edges of the full signal keep full weight (no fade-in at 0)
+                if i == 0:
+                    w = w.copy()
+                    w[:fade] = 1.0
+                if start + win >= total:
+                    w = w.copy()
+                    w[-fade:] = 1.0
+                out_t[start: start + win] += np.asarray(res.target[j])[:win] * w
+                out_r[start: start + win] += np.asarray(res.residual[j])[:win] * w
+                norm[start: start + win] += w
 
     norm = np.maximum(norm, 1e-8)
     return StreamingResult(out_t / norm, out_r / norm, n_windows)

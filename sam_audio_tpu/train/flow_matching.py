@@ -176,14 +176,25 @@ class Trainer:
         self.ema_decay = ema_decay
         lr = make_lr_schedule(learning_rate, lr_schedule, warmup_steps,
                               total_steps, final_lr_ratio)
-        self.optimizer = optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            optax.adamw(lr, weight_decay=weight_decay),
-        )
         if trainable_filter is None:
             def trainable_filter(path: str) -> bool:
                 return not path.startswith(DEFAULT_FROZEN_PREFIXES)
         self._trainable_filter = trainable_filter
+
+        # Weight decay must skip frozen towers: grads are masked to zero, but
+        # adamw's add_decayed_weights applies to every leaf regardless, so an
+        # unmasked decay would shrink "frozen" codec/T5 params by lr*wd each
+        # step (and the EMA aliases frozen leaves, so eval weights would
+        # drift too).
+        def decay_mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: trainable_filter(_path_str(path)), params
+            )
+
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(grad_clip),
+            optax.adamw(lr, weight_decay=weight_decay, mask=decay_mask),
+        )
         step_fn = make_train_step(cfg, self.optimizer, trainable_filter,
                                   ema_decay)
 

@@ -64,7 +64,7 @@ def test_full_checkpoint_pt_roundtrip(tmp_path):
     cfg["compute_dtype"] = "float32"
     (tmp_path / "config.json").write_text(json.dumps(cfg))
 
-    model = load_sam_audio(str(tmp_path))
+    model = load_sam_audio(str(tmp_path), allow_random_towers=True)
 
     proc = SAMAudioProcessor(audio_hop_length=8, audio_sampling_rate=8000)
     wav = 0.1 * np.random.RandomState(0).randn(1, 96).astype(np.float32)

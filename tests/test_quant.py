@@ -164,3 +164,47 @@ def test_quantized_params_shard_and_match_on_mesh():
     sa.update(shard_batch({k: sa[k] for k in sharded_keys}, mesh))
     out = np.asarray(separate_latents(sp, **sa, cfg=cfg, candidates=1))
     np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_int8_decoded_waveform_snr_gate():
+    """Audio-level accuracy gate for the int8 serving mode (VERDICT r2 task
+    4a): decoded-waveform SNR and log-spectral distance vs the exact model on
+    the tiny golden model with identical noise. Measured r3: SNR 66.6 dB,
+    LSD 0.042 dB (tiny model; small random-init velocities make the shared
+    noise dominate — this gates the quantization wiring, not absolute
+    fidelity on real weights, which needs staged checkpoints)."""
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+    from sam_audio_tpu.processor import SAMAudioProcessor
+    from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+    cfg = tiny_test_config()
+    tok = ByteFallbackTokenizer(cfg.text_encoder.vocab_size)
+    model = SAMAudio.init_random(jax.random.PRNGKey(0), cfg, tokenizer=tok)
+    ref_model = SAMAudio.init_random(jax.random.PRNGKey(0), cfg, tokenizer=tok)
+    proc = SAMAudioProcessor(audio_hop_length=cfg.audio_codec.hop_length,
+                             audio_sampling_rate=cfg.audio_codec.sample_rate)
+    rng = np.random.RandomState(3)
+    batch = proc(descriptions=["a tone"],
+                 audios=[rng.randn(1, 800).astype(np.float32) * 0.1])
+    t = batch.anchor_alignment.shape[-1]
+    noise = jax.random.normal(
+        jax.random.PRNGKey(9), (1, t, 2 * cfg.audio_codec.codebook_dim),
+        jnp.float32)
+    ref = ref_model.separate(batch, noise=noise)
+    model.quantize()
+    out = model.separate(batch, noise=noise)
+    a = np.asarray(out.target[0])
+    b = np.asarray(ref.target[0])
+
+    snr = 10 * np.log10(np.sum(b * b) / max(np.sum((a - b) ** 2), 1e-12))
+    assert snr > 30.0, f"int8 waveform SNR degraded: {snr:.2f} dB"
+
+    def spec_db(w, nfft=128, hop=64):
+        frames = [w[i:i + nfft] * np.hanning(nfft)
+                  for i in range(0, len(w) - nfft, hop)]
+        s = np.abs(np.fft.rfft(np.stack(frames), axis=-1)) ** 2
+        return 10 * np.log10(np.maximum(s, 1e-10))
+
+    lsd = float(np.mean(np.sqrt(np.mean(
+        (spec_db(a) - spec_db(b)) ** 2, axis=-1))))
+    assert lsd < 0.5, f"int8 log-spectral distance degraded: {lsd:.3f} dB"

@@ -80,3 +80,80 @@ def test_factory_builds_ensemble():
     ranker = create_ranker(cfg)
     assert isinstance(ranker, EnsembleRanker)
     assert create_ranker(None) is None
+
+
+def test_weightless_rankers_fail_loud():
+    """CLAP/ImageBind rankers without staged checkpoints must raise instead of
+    silently scoring with random weights (reference always loads real ranker
+    weights, sam_audio/model/base.py:56-61)."""
+    import pytest
+
+    from sam_audio_tpu.config import ClapRankerConfig, ImageBindRankerConfig
+    from sam_audio_tpu.ranking.clap import ClapRanker
+    from sam_audio_tpu.ranking.imagebind import ImageBindRanker
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        _ = ClapRanker(ClapRankerConfig()).model
+    with pytest.raises(ValueError, match="checkpoint"):
+        _ = ImageBindRanker(ImageBindRankerConfig()).model
+    # explicit opt-in still works (tests/benchmarks)
+    assert ClapRanker(ClapRankerConfig(), allow_random=True) is not None
+
+
+def test_create_ranker_threads_allow_random():
+    from sam_audio_tpu.config import ClapRankerConfig
+
+    r = create_ranker(ClapRankerConfig())
+    assert r.allow_random is False
+    r = create_ranker(ClapRankerConfig(), allow_random=True)
+    assert r.allow_random is True
+
+
+def test_encode_videos_fails_loud_without_vision_tower():
+    import pytest
+
+    from sam_audio_tpu.config import tiny_test_config
+    from sam_audio_tpu.models.pe_clip import encode_videos
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+
+    cfg = tiny_test_config()
+    model = SAMAudio(cfg, {})  # not init_random: simulates a loaded model
+    with pytest.raises(ValueError, match="vision"):
+        encode_videos(model, [np.zeros((2, 3, 8, 8), np.float32)], 4)
+
+
+def test_clap_ranker_rand_trunc_seeded():
+    """Ranker-path truncation must use the reference's rand_trunc semantics
+    (reference ranking/clap.py:59-61) reproducibly via an explicit seed."""
+    from sam_audio_tpu.config import ClapRankerConfig
+    from sam_audio_tpu.ranking.clap import ClapRanker
+
+    captured = []
+
+    class SpyModel:
+        class cfg:
+            n_samples = 100
+
+        def get_audio_embedding(self, flat):
+            captured.append(np.asarray(flat))
+            return np.zeros((flat.shape[0], 4), np.float32)
+
+        def get_text_embedding(self, texts):
+            return np.zeros((len(texts), 4), np.float32)
+
+    # 300-sample ramp: any window identifies its start offset
+    wav = np.arange(300, dtype=np.float32)[None]
+    ranker = ClapRanker(ClapRankerConfig(), model=SpyModel(), seed=123)
+    ranker(extracted_audio=[wav], descriptions=["x"])
+    ranker(extracted_audio=[wav], descriptions=["x"])
+    a, b = captured
+    np.testing.assert_array_equal(a, b)  # same seed -> same window
+    start = int(a[0, 0])
+    assert 0 <= start <= 200
+    np.testing.assert_array_equal(a[0], np.arange(start, start + 100))
+    # center-trunc would always start at 100; a different seed must be able
+    # to produce a different window
+    captured.clear()
+    ranker2 = ClapRanker(ClapRankerConfig(), model=SpyModel(), seed=7)
+    ranker2(extracted_audio=[wav], descriptions=["x"])
+    assert int(captured[0][0, 0]) != start or start != 100

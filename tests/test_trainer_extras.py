@@ -81,3 +81,33 @@ def test_fit_loop_with_eval_hook():
     assert "val_metric" in history[2] and "val_metric" in history[5]
     assert len(logs) == 3  # steps 1, 3, 5 (i = 0, 2, 4)
     assert all(np.isfinite(h["loss"]) for h in history)
+
+
+def test_frozen_towers_bit_identical_after_steps():
+    """Weight decay must not touch frozen towers: grads are masked AND adamw's
+    add_decayed_weights is masked (ADVICE r2), so codec/T5 leaves stay
+    bit-identical across optimizer steps."""
+    params = sam_audio_init(jax.random.PRNGKey(0), CFG)
+    trainer = Trainer(CFG, params, learning_rate=3e-3, weight_decay=0.1)
+    # snapshot to numpy BEFORE stepping: the trainer donates state buffers
+    frozen_before = jax.tree_util.tree_map(
+        np.asarray, {"audio_codec": trainer.state.params["audio_codec"],
+                     "text_encoder": trainer.state.params["text_encoder"]})
+    wq_before = np.asarray(
+        trainer.state.params["transformer"]["layers"]["attention"]["wq"]
+        ["weight"])
+    batch = synthetic_batch(CFG, jax.random.PRNGKey(1), batch_size=2,
+                            t_frames=8)
+    for _ in range(2):
+        trainer.step(batch, jax.random.PRNGKey(2))
+    frozen_after = {"audio_codec": trainer.state.params["audio_codec"],
+                    "text_encoder": trainer.state.params["text_encoder"]}
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        frozen_before, frozen_after)
+    # and the trainable DiT did move
+    assert not np.allclose(
+        wq_before,
+        np.asarray(trainer.state.params["transformer"]["layers"]["attention"]
+                   ["wq"]["weight"]))
