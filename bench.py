@@ -62,7 +62,7 @@ def _gen_random_like(init_fn, key, scale: float = 0.02):
 
 def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
          iters: int = 3, preview_nfe: int = 0, int8: bool = False,
-         ranker: str = "clap"):
+         ranker: str = "clap", int4: bool = False):
     from sam_audio_tpu.config import SAMAudioConfig
     from sam_audio_tpu.models.sam_audio import (
         decode_channel,
@@ -90,6 +90,13 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         params = jax.jit(quantize_sam_audio_params)(params)
         print("int8 serving mode: DiT matmuls quantized (opt-in, non-parity)",
               file=sys.stderr)
+    elif int4:
+        from sam_audio_tpu.ops.quant import quantize_sam_audio_params
+        from functools import partial as _partial
+
+        params = jax.jit(_partial(quantize_sam_audio_params, bits=4))(params)
+        print("int4 weight-storage mode: DiT weights packed (opt-in, "
+              "non-parity; k=1 latency study)", file=sys.stderr)
 
     sr = cfg.audio_codec.sample_rate
     hop = cfg.audio_codec.hop_length
@@ -276,6 +283,9 @@ if __name__ == "__main__":
                     help="candidate scorer compiled into the measured step "
                          "(default: real CLAP tower, matching the reference's "
                          "in-separate reranking)")
+    ap.add_argument("--int4", action="store_true",
+                    help="opt-in int4 weight-storage mode "
+                         "(SAMAudio.quantize(bits=4); k=1 latency study)")
     args = ap.parse_args()
     main(args.candidates, args.seconds, args.batch, args.iters,
-         args.preview_nfe, args.int8, args.ranker)
+         args.preview_nfe, args.int8, args.ranker, args.int4)

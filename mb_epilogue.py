@@ -6,6 +6,13 @@ make up the ~18% non-matmul share of the 32-NFE ODE step.
 
 Relay rules (memory: decoder-perf-findings): loop the op in lax.fori_loop
 with a loop-CARRIED dependence, sync via scalar fetch, divide by REPS.
+
+MEASURED GOTCHA (round 3): each fori_loop ITERATION pays ~0.5 ms of fixed
+overhead on this relay-attached backend (a carried `c+1` on 4M elements
+times identical to 4 chained adds), so sub-ms ops drown in the floor.
+Amortize by NESTING the op NEST times per iteration (still carried) and
+dividing by REPS*NEST; in-context A/B via the full bench program remains
+the ground truth.
 """
 
 from __future__ import annotations
@@ -30,6 +37,7 @@ from sam_audio_tpu.ops.rope import apply_rope_half, precompute_rope
 B, T, H, D = 8, 256, 16, 128
 DIM = H * D
 REPS = 50
+NEST = 16  # ops per loop iteration: amortizes the ~0.5 ms/iter relay floor
 
 
 def bench(name, fn, *args):
@@ -39,17 +47,23 @@ def bench(name, fn, *args):
     t0 = time.time()
     out = f(*args)
     float(jnp.sum(out.astype(jnp.float32)))
-    dt = (time.time() - t0) / REPS * 1e3
+    dt = (time.time() - t0) / (REPS * NEST) * 1e3
     print(f"{name:42s} {dt:8.3f} ms/op", file=sys.stderr)
     return dt
 
 
 def chain(body):
-    """REPS iterations with a carried dependence (defeats LICM): the op's
-    output feeds back as its input, so shapes must match."""
+    """REPS iterations x NEST nested applications with a carried dependence
+    (defeats LICM): the op's output feeds back as its input, so shapes must
+    match. NEST amortizes the per-iteration floor."""
 
     def run(x, *rest):
-        return jax.lax.fori_loop(0, REPS, lambda i, c: body(c, *rest), x)
+        def it(i, c):
+            for _ in range(NEST):
+                c = body(c, *rest)
+            return c
+
+        return jax.lax.fori_loop(0, REPS, it, x)
 
     return run
 
@@ -65,6 +79,11 @@ def main():
     hnorm_w = {"weight": jnp.ones((D,), jnp.bfloat16)}
     cos, sin = precompute_rope(D, T, 20000)
     mask = jnp.ones((B, T), bool)
+
+    # 0. loop floor: trivial elementwise op — measures per-iteration overhead
+    bench("FLOOR c+1 (B,T,2048)", chain(lambda c: c + 1.0), h)
+    bench("FLOOR c+1 x4 chained",
+          chain(lambda c: ((c + 1.0) + 1.0 + 1.0) + 1.0), h)
 
     # 1. rmsnorm + modulate on (B, T, DIM) — 2x per block
     bench("rmsnorm+modulate (B,T,2048)",
@@ -105,6 +124,16 @@ def main():
           chain(lambda c: jnp.dot(c.reshape(B * T, DIM), w,
                                   preferred_element_type=jnp.bfloat16)
                 .reshape(B, T, DIM)), h)
+
+    # 8. fused Pallas kernel for the same glue chain (ops/fused_attention.py)
+    from sam_audio_tpu.ops.fused_attention import fused_glue_attention
+
+    wq = jnp.ones((D,), jnp.float32)
+
+    def fused(q):
+        return fused_glue_attention(q, qkv, qkv, wq, wq, cos, sin, mask)
+
+    bench("FUSED qknorm+rope+attend kernel", chain(fused), qkv)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,29 @@ def attention_apply(params, x, *, n_heads, n_kv_heads, head_dim, cross_x=None,
     q = N.linear(params["wq"], x, compute_dtype).reshape(b, tq, n_heads, head_dim)
     k = N.linear(params["wk"], src, compute_dtype).reshape(b, tk, n_kv_heads, head_dim)
     v = N.linear(params["wv"], src, compute_dtype).reshape(b, tk, n_kv_heads, head_dim)
+    if (
+        cross_x is None
+        and rope_tables is not None
+        and "q_norm" in params
+        and n_kv_heads == n_heads
+        and head_dim % 128 == 0
+        and tq <= 512
+    ):
+        from sam_audio_tpu.ops.fused_attention import (
+            fused_attention_enabled,
+            fused_glue_attention,
+        )
+
+        if fused_attention_enabled():
+            # one Pallas kernel for qk-norm + rope + masked SDPA (short
+            # sequences; see ops/fused_attention.py)
+            out = fused_glue_attention(
+                q, k, v, params["q_norm"]["weight"], params["k_norm"]["weight"],
+                rope_tables[0], rope_tables[1],
+                key_padding_mask=key_padding_mask, eps=norm_eps,
+            )
+            out = out.reshape(b, tq, n_heads * head_dim)
+            return N.linear(params["wo"], out, compute_dtype)
     if "q_norm" in params:
         q = N.rmsnorm(params["q_norm"], q, norm_eps)
         k = N.rmsnorm(params["k_norm"], k, norm_eps)

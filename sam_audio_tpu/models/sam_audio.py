@@ -339,15 +339,21 @@ class SAMAudio:
             feature_idx, self.hop_length, self.sample_rate
         )
 
-    def quantize(self):
-        """Opt-in int8 serving mode: quantize the DiT's hot matmuls to
-        per-channel int8 weights (dynamic per-token int8 activations at run
-        time) for ~2x MXU rate on the 32-NFE ODE. Non-parity — small, bounded
-        accuracy cost; like `separate(preview_nfe=...)` this trades exactness
-        for speed. See ops/quant.py. Returns self."""
+    def quantize(self, bits: int = 8):
+        """Opt-in quantized serving modes (non-parity; like
+        `separate(preview_nfe=...)` these trade exactness for speed):
+
+        bits=8 — W8A8: DiT hot matmuls run int8 x int8 -> int32 on the MXU
+        (per-channel weight scales, dynamic per-token activation scales) for
+        ~2x MXU rate on the 32-NFE ODE.
+        bits=4 — packed int4 WEIGHT STORAGE with group-128 scales, dequantized
+        to bf16 at the weight read: halves weight HBM traffic for the
+        weight-bound k=1 latency case (the matmul itself stays bf16).
+
+        See ops/quant.py. Returns self."""
         from sam_audio_tpu.ops.quant import quantize_sam_audio_params
 
-        self.params = quantize_sam_audio_params(self.params)
+        self.params = quantize_sam_audio_params(self.params, bits)
         return self
 
     def shard(self, mesh=None, tp: int = 1):
@@ -401,6 +407,16 @@ class SAMAudio:
         t_frames = int(batch.anchor_alignment.shape[-1])
         text_ids, text_mask = self._tokenize(batch.descriptions)
 
+        if predict_spans and self.span_predictor is None and not getattr(
+            self, "allow_random_towers", False
+        ):
+            raise ValueError(
+                "predict_spans=True but no span predictor is attached. Stage "
+                "a converted PEAudioFrame checkpoint under <snapshot>/"
+                "span_predictor/ (python scripts/convert_checkpoint.py "
+                "span-predictor ...) — the reference always loads "
+                "'pe-a-frame-large' (sam_audio/model/model.py:96-102)."
+            )
         if predict_spans and self.span_predictor is not None and batch.anchors is None:
             self._predict_spans_into_batch(batch, audios)
 

@@ -43,6 +43,10 @@ def linear(params, x, compute_dtype=None):
         from sam_audio_tpu.ops.quant import linear_int8
 
         return linear_int8(params, x, compute_dtype)
+    if "w4" in params:  # int4 weight-storage mode (see ops/quant.py)
+        from sam_audio_tpu.ops.quant import linear_int4
+
+        return linear_int4(params, x, compute_dtype)
     w = params["weight"]
     if compute_dtype is not None:
         w = w.astype(compute_dtype)

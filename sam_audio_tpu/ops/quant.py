@@ -64,6 +64,98 @@ def linear_int8(params, x, compute_dtype=None):
     return y.astype(x.dtype)
 
 
+def quantize_linear_int4(params, group_size: int = 128):
+    """{"weight": (..., out, in)} -> {"w4", "w4_scale", ["bias"]}.
+
+    Int4 WEIGHT STORAGE for the weight-HBM-bound k=1 latency case: symmetric
+    per-(out, in-group) scales (group_size along the in axis), values in
+    [-7, 7], two nibbles packed into one uint8. The matmul itself runs bf16
+    after an on-the-fly dequant — the TPU MXU has no int4 mode and at small
+    batch the matmul is bandwidth-bound, so halving the weight bytes read is
+    the whole win (int4 x int4 MXU products are also numerically riskier).
+
+    Pack layout (OUT-axis packing, lane-friendly): the uint8 at position
+    (j, i) holds out-row j in its LOW nibble and out-row j + out/2 in its
+    HIGH nibble, so w4 is (out/2, in) — the lane (in) axis keeps the
+    original 128-aligned stride for every DiT shape (2048 and the FFN's
+    5504), and unpacking is two shifts + one out-axis concat. The group size
+    is the largest divisor of in that is <= group_size, recovered at call
+    time from the w4/w4_scale shapes.
+    """
+    w = params["weight"].astype(jnp.float32)
+    out_in = w.shape
+    assert out_in[-2] % 2 == 0, out_in
+    g = group_size
+    while out_in[-1] % g != 0:
+        g -= 1
+    wg = w.reshape(*out_in[:-1], out_in[-1] // g, g)
+    amax = jnp.max(jnp.abs(wg), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(wg / scale), -7, 7).astype(jnp.int8)
+    q = q.reshape(out_in)
+    half = out_in[-2] // 2
+    lo = q[..., :half, :]
+    hi = q[..., half:, :]
+    packed = (lo & 0x0F).astype(jnp.uint8) | (
+        (hi.astype(jnp.uint8) & 0x0F) << 4
+    )
+    out = {"w4": packed, "w4_scale": scale.squeeze(-1).astype(jnp.float32)}
+    if "bias" in params:
+        out["bias"] = params["bias"]
+    return out
+
+
+def _unpack_int4(packed, scale, compute_dtype):
+    """(..., out/2, in) uint8 + (..., out, in/g) scales -> (..., out, in)
+    dequantized. The group size is derived from the shapes."""
+    lo = (packed << 4).astype(jnp.int8) >> 4  # arithmetic shift sign-extends
+    hi = packed.astype(jnp.int8) >> 4
+    q = jnp.concatenate([lo, hi], axis=-2)
+    shape = q.shape
+    group_size = shape[-1] // scale.shape[-1]
+    wg = q.reshape(*shape[:-1], shape[-1] // group_size, group_size)
+    wf = wg.astype(jnp.float32) * scale[..., None]
+    return wf.reshape(shape).astype(compute_dtype or jnp.bfloat16)
+
+
+def linear_int4(params, x, compute_dtype=None):
+    """y = x @ dequant(w4).T + bias. w4 is (out/2, in) at call time (scan
+    strips the stacked layer axis, same as linear_int8).
+
+    Two paths:
+      * Pallas kernel (ops/int4_matmul.py) for small token counts on TPU —
+        the k=1 latency case where the matmul is weight-HBM-bound and the
+        win is reading half the bytes with in-kernel unpack;
+      * XLA fallback: dequantize then matmul (materializes bf16 weights —
+        measured SLOWER than int8/bf16 at k=8; the packed format is a
+        latency/footprint tool, not a throughput one).
+    """
+    dtype = compute_dtype or jnp.bfloat16
+    lead = x.shape[:-1]
+    tokens = 1
+    for s in lead:
+        tokens *= s
+    n_groups = params["w4_scale"].shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and tokens <= 256  # f32 accumulator must fit VMEM (see int4_matmul)
+        and x.shape[-1] % 128 == 0
+        and (x.shape[-1] // n_groups) % 128 == 0  # lane-aligned group blocks
+        and params["w4"].ndim == 2
+    ):
+        from sam_audio_tpu.ops.int4_matmul import matmul_int4
+
+        y = matmul_int4(x.reshape(tokens, x.shape[-1]).astype(dtype),
+                        params["w4"], params["w4_scale"])
+        y = y.reshape(*lead, y.shape[-1])
+    else:
+        w = _unpack_int4(params["w4"], params["w4_scale"], dtype)
+        y = jnp.einsum("...i,oi->...o", x.astype(dtype), w)
+    if "bias" in params:
+        y = y + params["bias"].astype(y.dtype)
+    return y.astype(x.dtype)
+
+
 # Param-dict keys inside a stacked DiT layer tree whose Linears get quantized.
 # The final "output" head, t_block, embedders, and the Patcher stem stay
 # full-precision (small share of time; precision-sensitive).
@@ -76,10 +168,12 @@ _DIT_LAYER_LINEARS = (
 )
 
 
-def quantize_dit_params(dit_params):
+def quantize_dit_params(dit_params, bits: int = 8):
     """Quantize the hot matmuls of a DiT param tree (models/dit.dit_init
     layout, scan-stacked layers). Returns a new tree; non-quantized leaves
-    are shared, not copied."""
+    are shared, not copied. bits=8 -> W8A8 MXU path; bits=4 -> packed int4
+    weight storage with bf16 dequant (k=1 latency mode)."""
+    quant = {8: quantize_linear, 4: quantize_linear_int4}[bits]
     out = dict(dit_params)
     layers = dict(dit_params["layers"])
     for path in _DIT_LAYER_LINEARS:
@@ -88,17 +182,18 @@ def quantize_dit_params(dit_params):
             continue
         g = dict(layers[group])
         if name in g and "weight" in g[name]:
-            g[name] = quantize_linear(g[name])
+            g[name] = quant(g[name])
         layers[group] = g
     out["layers"] = layers
     return out
 
 
-def quantize_sam_audio_params(params):
+def quantize_sam_audio_params(params, bits: int = 8):
     """Quantize the DiT inside a full SAMAudio param tree (+ the big input
     projection). Codec, T5, and towers stay full-precision."""
     out = dict(params)
-    out["transformer"] = quantize_dit_params(params["transformer"])
+    out["transformer"] = quantize_dit_params(params["transformer"], bits)
     if "proj" in params:
-        out["proj"] = quantize_linear(params["proj"])
+        quant = {8: quantize_linear, 4: quantize_linear_int4}[bits]
+        out["proj"] = quant(params["proj"])
     return out

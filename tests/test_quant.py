@@ -208,3 +208,94 @@ def test_int8_decoded_waveform_snr_gate():
     lsd = float(np.mean(np.sqrt(np.mean(
         (spec_db(a) - spec_db(b)) ** 2, axis=-1))))
     assert lsd < 0.5, f"int8 log-spectral distance degraded: {lsd:.3f} dB"
+
+
+def test_linear_int4_roundtrip_and_accuracy():
+    from sam_audio_tpu.ops.quant import linear_int4, quantize_linear_int4
+
+    rng = np.random.RandomState(0)
+    p = {
+        "weight": jnp.asarray(rng.randn(24, 256).astype(np.float32) * 0.1),
+        "bias": jnp.asarray(rng.randn(24).astype(np.float32)),
+    }
+    x = jnp.asarray(rng.randn(5, 256).astype(np.float32))
+    q = quantize_linear_int4(p)
+    assert q["w4"].dtype == jnp.uint8
+    assert q["w4"].shape == (12, 256)       # out-axis packed: (out/2, in)
+    assert q["w4_scale"].shape == (24, 2)   # group-128 scales
+    exact = N.linear(p, x)
+    approx = linear_int4(q, x, jnp.float32)
+    rel = np.abs(np.asarray(approx - exact)) / (np.abs(np.asarray(exact)) + 1e-2)
+    # int4 with group-128 scales: ~5% relative error on gaussian data
+    assert float(np.median(rel)) < 0.10, float(np.median(rel))
+    # dispatch through N.linear on the "w4" key
+    np.testing.assert_allclose(np.asarray(N.linear(q, x, jnp.float32)),
+                               np.asarray(approx))
+
+
+def test_linear_int4_odd_group_dims():
+    """In-dims not divisible by 128 fall back to the largest group size
+    dividing in."""
+    from sam_audio_tpu.ops.quant import linear_int4, quantize_linear_int4
+
+    rng = np.random.RandomState(1)
+    p = {"weight": jnp.asarray(rng.randn(8, 160).astype(np.float32) * 0.1)}
+    q = quantize_linear_int4(p)  # 160 % 128 != 0 -> g=80
+    assert q["w4"].shape == (4, 160)
+    assert q["w4_scale"].shape == (8, 2)
+    x = jnp.asarray(rng.randn(3, 160).astype(np.float32))
+    out = linear_int4(q, x, jnp.float32)
+    exact = N.linear(p, x)
+    corr = np.corrcoef(np.asarray(out).ravel(), np.asarray(exact).ravel())[0, 1]
+    assert corr > 0.98, corr
+
+
+def test_separate_with_int4_model_runs():
+    """bits=4 end to end on the tiny model with an SNR bound vs exact."""
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+    from sam_audio_tpu.processor import SAMAudioProcessor
+    from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+    cfg = tiny_test_config()
+    tok = ByteFallbackTokenizer(cfg.text_encoder.vocab_size)
+    model = SAMAudio.init_random(jax.random.PRNGKey(0), cfg, tokenizer=tok)
+    ref_model = SAMAudio.init_random(jax.random.PRNGKey(0), cfg, tokenizer=tok)
+    proc = SAMAudioProcessor(audio_hop_length=cfg.audio_codec.hop_length,
+                             audio_sampling_rate=cfg.audio_codec.sample_rate)
+    rng = np.random.RandomState(3)
+    batch = proc(descriptions=["a tone"],
+                 audios=[rng.randn(1, 800).astype(np.float32) * 0.1])
+    t = batch.anchor_alignment.shape[-1]
+    noise = jax.random.normal(
+        jax.random.PRNGKey(9), (1, t, 2 * cfg.audio_codec.codebook_dim),
+        jnp.float32)
+    ref = ref_model.separate(batch, noise=noise)
+    model.quantize(bits=4)
+    assert "w4" in model.params["transformer"]["layers"]["attention"]["wq"]
+    out = model.separate(batch, noise=noise)
+    a = np.asarray(out.target[0])
+    b = np.asarray(ref.target[0])
+    assert np.isfinite(a).all()
+    snr = 10 * np.log10(np.sum(b * b) / max(np.sum((a - b) ** 2), 1e-12))
+    # int4 is coarser than int8 (66.6 dB); still must stay close on the
+    # tiny golden model where shared noise dominates
+    assert snr > 20.0, f"int4 waveform SNR degraded: {snr:.2f} dB"
+
+
+def test_matmul_int4_pallas_matches_xla_path():
+    """The Pallas int4 kernel (interpret mode on CPU) must match the XLA
+    dequant path bit-for-bit up to matmul reassociation."""
+    from sam_audio_tpu.ops.int4_matmul import matmul_int4
+    from sam_audio_tpu.ops.quant import _unpack_int4, quantize_linear_int4
+
+    rng = np.random.RandomState(2)
+    for out, din in [(32, 256), (64, 384)]:
+        p = {"weight": jnp.asarray(
+            rng.randn(out, din).astype(np.float32) * 0.1)}
+        q = quantize_linear_int4(p)
+        x = jnp.asarray(rng.randn(5, din).astype(np.float32))
+        ref = x @ _unpack_int4(q["w4"], q["w4_scale"], jnp.float32).T
+        got = matmul_int4(x, q["w4"], q["w4_scale"], interpret=True)
+        assert got.shape == (5, out)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

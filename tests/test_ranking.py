@@ -157,3 +157,25 @@ def test_clap_ranker_rand_trunc_seeded():
     ranker2 = ClapRanker(ClapRankerConfig(), model=SpyModel(), seed=7)
     ranker2(extracted_audio=[wav], descriptions=["x"])
     assert int(captured[0][0, 0]) != start or start != 100
+
+
+def test_predict_spans_fails_loud_without_predictor():
+    import pytest
+
+    from sam_audio_tpu.config import tiny_test_config
+    from sam_audio_tpu.models.sam_audio import SAMAudio, sam_audio_init
+    from sam_audio_tpu.processor import SAMAudioProcessor
+    from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+    import jax
+
+    cfg = tiny_test_config()
+    model = SAMAudio(cfg, sam_audio_init(jax.random.PRNGKey(0), cfg),
+                     tokenizer=ByteFallbackTokenizer(
+                         cfg.text_encoder.vocab_size))  # loaded-model posture
+    p = SAMAudioProcessor(audio_hop_length=cfg.audio_codec.hop_length,
+                          audio_sampling_rate=cfg.audio_codec.sample_rate)
+    batch = p(descriptions=["x"],
+              audios=[np.zeros((1, 64), np.float32)])
+    with pytest.raises(ValueError, match="span predictor"):
+        model.separate(batch, predict_spans=True, rng=jax.random.PRNGKey(1))
