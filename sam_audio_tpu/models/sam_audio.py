@@ -464,11 +464,14 @@ class SAMAudio:
                 cfg=cfg, candidates=k, ode_method=method,
                 ode_step_size=2.0 / preview_nfe, use_video=use_video,
             )
-            tgt_prev = np.asarray(decode_channel_chunked(
-                self.params, preview, cfg=cfg, channel=0))
-            target_cands = [tgt_prev[i * k:(i + 1) * k, :sizes[i]]
-                            for i in range(b)]
-            idxs = self._rerank(batch, target_cands, sizes, k)
+            tgt_prev_dev = decode_channel_chunked(
+                self.params, preview, cfg=cfg, channel=0)
+            idxs = self._rerank_on_device(batch, tgt_prev_dev, sizes, b, k)
+            if idxs is None:
+                tgt_prev = np.asarray(tgt_prev_dev)
+                target_cands = [tgt_prev[i * k:(i + 1) * k, :sizes[i]]
+                                for i in range(b)]
+                idxs = self._rerank(batch, target_cands, sizes, k)
             chosen_noise = gather_candidates(
                 noise, jnp.asarray(idxs, jnp.int32), cfg=cfg, candidates=k
             )
@@ -500,11 +503,14 @@ class SAMAudio:
             # decode all k targets for ranking; the residual is decoded only
             # for the winning candidate (identical outputs, ~45% less decoder
             # work at k=8 than the reference's decode-everything order).
-            tgt_all = np.asarray(decode_channel_chunked(
-                self.params, latents, cfg=cfg, channel=0))
+            tgt_dev = decode_channel_chunked(
+                self.params, latents, cfg=cfg, channel=0)
+            idxs = self._rerank_on_device(batch, tgt_dev, sizes, b, k)
+            tgt_all = np.asarray(tgt_dev)
             target_cands = [tgt_all[i * k:(i + 1) * k, :sizes[i]]
                             for i in range(b)]
-            idxs = self._rerank(batch, target_cands, sizes, k)
+            if idxs is None:
+                idxs = self._rerank(batch, target_cands, sizes, k)
             chosen = gather_candidates(latents, jnp.asarray(idxs, jnp.int32),
                                        cfg=cfg, candidates=k)
             res_sel = np.asarray(decode_channel(self.params, chosen, cfg=cfg,
@@ -525,6 +531,28 @@ class SAMAudio:
         return SeparationResult(target=target, residual=residual, noise=noise)
 
     # -- reranking (reference model.py:306-330) ------------------------------
+
+    def _rerank_on_device(self, batch, tgt_dev, sizes, b: int, k: int):
+        """On-device candidate scoring fast path: when the text ranker can
+        score device arrays exactly (ClapRanker.score_on_device — clips fit
+        the 10 s CLAP window at 48 kHz), the decoded candidates never round-
+        trip through host numpy and the scorer towers run as one compiled
+        program, matching the reference's rerank-inside-separate with
+        'scorers compiled on device'. Returns per-item winner indices, or
+        None to fall back to the host ranker path."""
+        if batch.masked_video is not None and self.visual_ranker is not None:
+            return None  # visual path stays host-side (video transforms)
+        r = self.text_ranker
+        if r is None or not hasattr(r, "supports_on_device"):
+            return None
+        # may raise ValueError when no weights are staged — the same failure
+        # the host path would hit on its first score
+        if not r.supports_on_device(sizes, self.sample_rate):
+            return None
+        scores = r.score_on_device(
+            tgt_dev.reshape(b, k, -1), sizes, batch.descriptions
+        )
+        return list(np.argmax(np.asarray(scores), axis=1))
 
     def _rerank(self, batch, target, sizes, k: int):
         b = len(target)

@@ -1,5 +1,17 @@
 """CLAP text<->audio ranker (reference: sam_audio/ranking/clap.py:11-86):
-score each candidate's audio embedding against its prompt's text embedding."""
+score each candidate's audio embedding against its prompt's text embedding.
+
+Two scoring paths:
+  * `score_on_device` — the serving hot path: decoded candidate waveforms
+    stay on the TPU, repeat-padding uses a modular gather on their TRUE
+    lengths, and the HTSAT+RoBERTa towers run as one jitted program
+    (matching the reference's in-separate reranking compute,
+    model.py:306-330, with the scorers compiled on device). Engaged by
+    SAMAudio.separate when the clip fits the 10 s CLAP window (no
+    truncation -> no rand_trunc randomness to reproduce).
+  * `__call__` — host path for arbitrary lengths/sample rates: per-row
+    numpy repeatpad + seeded rand_trunc (reference clap.py:59-61).
+"""
 
 from __future__ import annotations
 
@@ -13,6 +25,33 @@ from sam_audio_tpu.ops.resample import resample_np
 from sam_audio_tpu.ranking.ranker import Ranker
 
 CLAP_SAMPLE_RATE = 48_000
+
+
+_score_jit_cache = {}
+
+
+def _clap_score_jit(params, rows, sizes_r, starts, ids, mask, *, cfg, bsz, k):
+    """One jitted scoring program per ClapConfig (shape buckets handled by
+    jit's own cache keyed on array shapes)."""
+    import jax
+
+    if "fn" not in _score_jit_cache:
+        from sam_audio_tpu.models.clap import clap_audio_embed, clap_text_embed
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("cfg", "bsz", "k"))
+        def _score(params, rows, sizes_r, starts, ids, mask, *, cfg, bsz, k):
+            idx = (starts[:, None] + jnp.arange(cfg.n_samples)[None, :]) \
+                % sizes_r[:, None]
+            fitted = jnp.take_along_axis(rows, idx, axis=1)
+            a_emb = clap_audio_embed(params, cfg, fitted)
+            t_emb = clap_text_embed(params, cfg, ids, mask)
+            return jnp.einsum("bkd,bd->bk", a_emb.reshape(bsz, k, -1), t_emb)
+
+        _score_jit_cache["fn"] = _score
+    return _score_jit_cache["fn"](params, rows, sizes_r, starts, ids, mask,
+                                  cfg=cfg, bsz=bsz, k=k)
 
 
 class ClapRanker(Ranker):
@@ -56,6 +95,47 @@ class ClapRanker(Ranker):
                 )
         return self._model
 
+    def supports_on_device(self, sizes, sample_rate: int) -> bool:
+        """On-device scoring is exact (vs the host path) when the audio is
+        already at the CLAP pipeline's sample rate (48 kHz for the real
+        config) and every candidate fits the 10 s window."""
+        cfg = self.model.cfg
+        return sample_rate == cfg.sample_rate and all(
+            0 < int(s) <= cfg.n_samples for s in sizes
+        )
+
+    def score_on_device(self, targets, sizes, descriptions,
+                        seed: int = None) -> jnp.ndarray:
+        """targets: (bsz, k, Tpad) device array at 48 kHz; sizes: per-item
+        TRUE sample counts (<= n_samples). Returns (bsz, k) scores without
+        leaving the device.
+
+        Bit-matches the host path's `fit_duration_np(..., rand_trunc=True)`:
+        repeat-padding is a cyclic gather `wav[(start + i) % size]` where the
+        seeded random crop starts are drawn on host in the same RandomState
+        order the host path uses (item-major, then candidate). The int16
+        roundtrip and projection/normalization live in clap_audio_embed."""
+        model = self.model
+        cfg = model.cfg
+        n = cfg.n_samples
+        bsz, k, t_pad = targets.shape
+        ids, mask = model.tokenizer(list(descriptions),
+                                    max_length=cfg.max_text_len)
+        rng = np.random.RandomState(self.seed if seed is None else seed)
+        sizes_np = np.asarray(sizes, np.int64)
+        starts = np.zeros((bsz * k,), np.int64)
+        for i in range(bsz):
+            t = int(sizes_np[i])
+            tiled = t * -(-n // t)  # len after np.tile(ceil(n/t))
+            for j in range(k):
+                if tiled > n:  # same draw sequence as fit_duration_np
+                    starts[i * k + j] = rng.randint(0, tiled - n + 1)
+        sizes_r = jnp.repeat(jnp.asarray(sizes_np), k)
+        return _clap_score_jit(model.params,
+                               targets.reshape(bsz * k, t_pad), sizes_r,
+                               jnp.asarray(starts), jnp.asarray(ids),
+                               jnp.asarray(mask), cfg=cfg, bsz=bsz, k=k)
+
     def __call__(
         self,
         extracted_audio: Sequence[np.ndarray],  # per item (k, T)
@@ -72,11 +152,12 @@ class ClapRanker(Ranker):
         # seeded rand_trunc, matching the reference's data_truncating=
         # "rand_trunc" (ranking/clap.py:59-61) but reproducible
         rng = np.random.RandomState(self.seed if seed is None else seed)
+        clap_sr = self.model.cfg.sample_rate  # 48 kHz for the real config
         rows = []
         for item in extracted_audio:
             arr = np.asarray(item, np.float32)
-            if sample_rate != CLAP_SAMPLE_RATE:
-                arr = resample_np(arr, sample_rate, CLAP_SAMPLE_RATE)
+            if sample_rate != clap_sr:
+                arr = resample_np(arr, sample_rate, clap_sr)
             for j in range(k):
                 # per-candidate repeatpad/rand-trunc on the TRUE length
                 rows.append(fit_duration_np(arr[j], n, rand_trunc=True,

@@ -146,9 +146,14 @@ def separate_streaming(
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(run_group, 0)
         for next_g0 in list(range(bw, n_windows, bw)) + [None]:
+            # queue the NEXT group before blocking on the current one: the
+            # single worker rolls straight from group g's sync into group
+            # g+1's preprocess + dispatch, so this thread's assembly below
+            # overlaps the device solving g+1
+            fut_next = (pool.submit(run_group, next_g0)
+                        if next_g0 is not None else None)
             group, starts, res = fut.result()
-            if next_g0 is not None:
-                fut = pool.submit(run_group, next_g0)
+            fut = fut_next
             for j, (i, start) in enumerate(zip(group, starts)):
                 w = _crossfade_weights(win, fade)
                 # edges of the full signal keep full weight (no fade-in at 0)

@@ -197,3 +197,93 @@ def test_video_to_clips_shape():
     clips = video_to_clips(frames, TINY_IB)
     assert clips.shape == (2, 3, 32, 32)
     assert clips.max() <= 1.0
+
+
+def test_clap_score_on_device_matches_host_path():
+    """separate()'s on-device CLAP fast path must score identically to the
+    host path when clips fit the 10 s window (no truncation -> the paths
+    share exact repeatpad semantics)."""
+    import jax.numpy as jnp
+
+    model = ClapModel.init_random(jax.random.PRNGKey(3), TINY_CLAP)
+    ranker = ClapRanker(ClapRankerConfig(), model=model)
+    bsz, k = 2, 3
+    n = TINY_CLAP.n_samples
+    rng = np.random.RandomState(0)
+    sizes = [n // 2, n - 7]  # true lengths below the window
+    t_pad = n  # padded row length
+    tgt = np.zeros((bsz, k, t_pad), np.float32)
+    for i in range(bsz):
+        tgt[i, :, : sizes[i]] = rng.randn(k, sizes[i]) * 0.1
+
+    assert ranker.supports_on_device(sizes, TINY_CLAP.sample_rate)
+    assert not ranker.supports_on_device([n + 1], TINY_CLAP.sample_rate)
+    assert not ranker.supports_on_device(sizes, 16000)
+
+    dev = np.asarray(ranker.score_on_device(jnp.asarray(tgt), sizes,
+                                            ["a", "b"]))
+    host = ranker(
+        extracted_audio=[tgt[i, :, : sizes[i]] for i in range(bsz)],
+        descriptions=["a", "b"],
+        sample_rate=TINY_CLAP.sample_rate,
+    )
+    assert dev.shape == (bsz, k)
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-5)
+
+
+def test_separate_uses_on_device_clap_path():
+    """separate() with a ClapRanker whose window fits must take the
+    on-device scoring path and pick the same winner as the host path."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from sam_audio_tpu.config import tiny_test_config
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+    from sam_audio_tpu.processor import SAMAudioProcessor
+    from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+    cfg = tiny_test_config()
+    model = SAMAudio.init_random(
+        jax.random.PRNGKey(0), cfg,
+        tokenizer=ByteFallbackTokenizer(cfg.text_encoder.vocab_size))
+    # CLAP pipeline at the model's sample rate so the device gate opens
+    clap_cfg = TINY_CLAP.__class__(**{
+        **TINY_CLAP.__dict__, "sample_rate": cfg.audio_codec.sample_rate})
+    clap = ClapModel.init_random(jax.random.PRNGKey(1), clap_cfg)
+    ranker = ClapRanker(ClapRankerConfig(), model=clap)
+    model.text_ranker = ranker
+
+    p = SAMAudioProcessor(audio_hop_length=cfg.audio_codec.hop_length,
+                          audio_sampling_rate=cfg.audio_codec.sample_rate)
+    rng = np.random.RandomState(0)
+    batch = p(descriptions=["a tone"],
+              audios=[rng.randn(1, 96).astype(np.float32) * 0.1])
+    t = batch.anchor_alignment.shape[-1]
+    k = 3
+    noise = rng.randn(k, t, 2 * cfg.audio_codec.codebook_dim).astype(
+        np.float32)
+
+    calls = {"device": 0, "host": 0}
+    orig_dev = ranker.score_on_device
+    orig_host = ranker.__call__
+
+    def spy_dev(*a, **kw):
+        calls["device"] += 1
+        return orig_dev(*a, **kw)
+
+    ranker.score_on_device = spy_dev
+    res_dev = model.separate(batch, noise=noise, reranking_candidates=k)
+    assert calls["device"] == 1
+
+    # force the host path (same ranker model, identical inputs): outputs
+    # must match because device/host scoring is bit-faithful
+    ranker.score_on_device = orig_dev
+    ranker2 = ClapRanker(ClapRankerConfig(), model=clap)
+    ranker2.supports_on_device = lambda *a, **kw: False
+    model.text_ranker = ranker2
+    batch2 = p(descriptions=["a tone"],
+               audios=[np.asarray(batch.audios)[0, :, :96]])
+    res_host = model.separate(batch2, noise=noise, reranking_candidates=k)
+    np.testing.assert_allclose(np.asarray(res_dev.target[0]),
+                               np.asarray(res_host.target[0]),
+                               rtol=1e-5, atol=1e-6)
+    del orig_host
