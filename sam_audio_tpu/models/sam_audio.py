@@ -550,7 +550,8 @@ class SAMAudio:
         if not r.supports_on_device(sizes, self.sample_rate):
             return None
         scores = r.score_on_device(
-            tgt_dev.reshape(b, k, -1), sizes, batch.descriptions
+            tgt_dev.reshape(b, k, -1), sizes, batch.descriptions,
+            mixtures=jnp.asarray(batch.audios, jnp.float32),
         )
         return list(np.argmax(np.asarray(scores), axis=1))
 

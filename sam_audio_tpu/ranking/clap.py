@@ -105,7 +105,7 @@ class ClapRanker(Ranker):
         )
 
     def score_on_device(self, targets, sizes, descriptions,
-                        seed: int = None) -> jnp.ndarray:
+                        seed: int = None, mixtures=None) -> jnp.ndarray:
         """targets: (bsz, k, Tpad) device array at 48 kHz; sizes: per-item
         TRUE sample counts (<= n_samples). Returns (bsz, k) scores without
         leaving the device.

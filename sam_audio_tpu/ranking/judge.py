@@ -1,8 +1,16 @@
 """Judge ranker: scores each candidate with the SAMAudioJudge model
-(reference: sam_audio/ranking/judge.py:11-42)."""
+(reference: sam_audio/ranking/judge.py:11-42).
+
+`score_on_device` is the serving fast path used by SAMAudio.separate: when
+every candidate's true length is a hop multiple (always true for
+separate()'s frame-aligned decodes) at the judge codec's sample rate, the
+reflect-pad in the host processor is a no-op, so the (mixture, candidate)
+pairs can stay on the TPU and the full judge stack (ModernBERT + DAC-VAE
+encoder + PE-AV towers) runs as one jitted program."""
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Sequence
 
 import jax.numpy as jnp
@@ -10,6 +18,31 @@ import numpy as np
 
 from sam_audio_tpu.config import JudgeRankerConfig
 from sam_audio_tpu.ranking.ranker import Ranker
+
+_judge_jit_cache = {}
+
+
+def _judge_score_jit(params, ids, mask, mixtures, separated, padding_mask,
+                     *, cfg, bsz, k):
+    import jax
+
+    if "fn" not in _judge_jit_cache:
+        from sam_audio_tpu.models.judge import judge_forward
+
+        @partial(jax.jit, static_argnames=("cfg", "bsz", "k"))
+        def _score(params, ids, mask, mixtures, separated, padding_mask,
+                   *, cfg, bsz, k):
+            out = judge_forward(
+                params, cfg, input_ids=ids, input_values=mixtures,
+                separated_values=separated, attention_mask=mask,
+                padding_mask=padding_mask,
+                compute_dtype=jnp.dtype(cfg.compute_dtype),
+            )
+            return out.overall.reshape(bsz, k)
+
+        _judge_jit_cache["fn"] = _score
+    return _judge_jit_cache["fn"](params, ids, mask, mixtures, separated,
+                                  padding_mask, cfg=cfg, bsz=bsz, k=k)
 
 
 class JudgeRanker(Ranker):
@@ -37,6 +70,40 @@ class JudgeRanker(Ranker):
                 self.config.checkpoint_or_model_id
             )
         return self._processor
+
+    def supports_on_device(self, sizes, sample_rate: int) -> bool:
+        """Exact vs the host path when reflect-padding is a no-op: every true
+        length is a hop multiple at the judge codec's sample rate (always
+        true for separate()'s frame-aligned candidate decodes)."""
+        cfg = self.model.cfg
+        hop = cfg.audio_codec.hop_length
+        return sample_rate == cfg.audio_codec.sample_rate and all(
+            int(s) > 0 and int(s) % hop == 0 for s in sizes
+        )
+
+    def score_on_device(self, targets, sizes, descriptions,
+                        mixtures=None) -> jnp.ndarray:
+        """targets: (bsz, k, Tpad) candidates; mixtures: (bsz, 1, Tw)
+        device arrays; sizes: per-item true sample counts (hop multiples).
+        Returns (bsz, k) `overall` scores without leaving the device."""
+        if mixtures is None:
+            raise ValueError("judge on-device scoring needs the mixtures")
+        model = self.model
+        cfg = model.cfg
+        bsz, k, t_pad = targets.shape
+        texts = [descriptions[i] for i in range(bsz) for _ in range(k)]
+        ids, mask = self.processor.tokenizer(texts, max_length=512)
+        sizes_r = jnp.repeat(jnp.asarray(np.asarray(sizes, np.int64)), k)
+        padding_mask = jnp.arange(t_pad)[None, :] < sizes_r[:, None]
+        mix = jnp.asarray(mixtures)
+        if mix.shape[-1] < t_pad:  # equalize pad lengths (zeros are masked)
+            mix = jnp.pad(mix, ((0, 0), (0, 0), (0, t_pad - mix.shape[-1])))
+        mix_r = jnp.repeat(mix[..., :t_pad], k, axis=0)  # (b*k, 1, Tpad)
+        sep = targets.reshape(bsz * k, 1, t_pad)
+        return _judge_score_jit(
+            model.params, jnp.asarray(ids), jnp.asarray(mask), mix_r, sep,
+            padding_mask, cfg=cfg, bsz=bsz, k=k,
+        )
 
     def __call__(
         self,

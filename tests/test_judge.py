@@ -93,3 +93,43 @@ def test_judge_processor_reflect_pad():
     # padded to next hop multiple (16)
     assert out["input_values"].shape == (1, 1, 16)
     assert out["padding_mask"].shape == (1, 16)
+
+
+def test_judge_score_on_device_matches_host_path():
+    """The on-device judge scoring fast path (used by separate()) must match
+    the host processor+forward path when true lengths are hop multiples
+    (reflect-pad no-op)."""
+    model = SAMAudioJudgeModel.init_random(jax.random.PRNGKey(0), CFG)
+    processor = SAMAudioJudgeProcessor(
+        audio_hop_length=CFG.audio_codec.hop_length,
+        audio_sampling_rate=CFG.audio_codec.sample_rate,
+        tokenizer=ByteFallbackTokenizer(300),
+    )
+    ranker = JudgeRanker(JudgeRankerConfig(), model=model, processor=processor)
+    hop = CFG.audio_codec.hop_length
+    rng = np.random.RandomState(0)
+    b, k = 2, 3
+    sizes = [4 * hop, 6 * hop]
+    t_pad = 6 * hop
+    tgt = np.zeros((b, k, t_pad), np.float32)
+    mix = np.zeros((b, 1, t_pad), np.float32)
+    for i in range(b):
+        tgt[i, :, : sizes[i]] = rng.randn(k, sizes[i]) * 0.1
+        mix[i, 0, : sizes[i]] = rng.randn(sizes[i]) * 0.1
+
+    assert ranker.supports_on_device(sizes, CFG.audio_codec.sample_rate)
+    assert not ranker.supports_on_device([hop + 1], CFG.audio_codec.sample_rate)
+
+    dev = np.asarray(ranker.score_on_device(
+        jnp.asarray(tgt), sizes, ["a", "b"], mixtures=jnp.asarray(mix)))
+
+    # host path: per-item true-length slices through the judge processor
+    host = ranker(
+        extracted_audio=[tgt[i, :, : sizes[i]] for i in range(b)],
+        input_audio=[np.broadcast_to(mix[i, 0, : sizes[i]],
+                                     (k, sizes[i])) for i in range(b)],
+        descriptions=["a", "b"],
+        sample_rate=CFG.audio_codec.sample_rate,
+    )
+    assert dev.shape == (b, k)
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-4)
