@@ -152,7 +152,8 @@ class ClapRanker(Ranker):
         # seeded rand_trunc, matching the reference's data_truncating=
         # "rand_trunc" (ranking/clap.py:59-61) but reproducible
         rng = np.random.RandomState(self.seed if seed is None else seed)
-        clap_sr = self.model.cfg.sample_rate  # 48 kHz for the real config
+        # 48 kHz for the real config (stub models in tests may omit it)
+        clap_sr = getattr(self.model.cfg, "sample_rate", CLAP_SAMPLE_RATE)
         rows = []
         for item in extracted_audio:
             arr = np.asarray(item, np.float32)

@@ -86,9 +86,13 @@ class SeparationPipeline:
             bucket_steps=self.bucket_steps, max_batch=self.max_batch,
         )
 
-        # 3. run groups
+        # 3. run groups through a double-buffered pipeline: one worker thread
+        # keeps the NEXT group's preprocess + device solve in flight while
+        # this thread copies out the current group's responses (same pattern
+        # as streaming.separate_streaming)
         responses: List[Optional[SeparationResponse]] = [None] * len(requests)
-        for group, bucket in zip(batches, buckets):
+
+        def run_group(group, bucket):
             group_reqs = [requests[i] for i in group]
             with self.timer.stage("preprocess"):
                 batch = self.processor(
@@ -108,11 +112,21 @@ class SeparationPipeline:
                     predict_spans=self.predict_spans,
                     preview_nfe=self.preview_nfe,
                 )
-            for j, idx in enumerate(group):
-                responses[idx] = SeparationResponse(
-                    target=np.asarray(result.target[j]),
-                    residual=np.asarray(result.residual[j]),
-                    metadata={"bucket": bucket,
-                              "batch_size": len(group)},
-                )
+            return result
+
+        work = list(zip(batches, buckets))
+        with ThreadPoolExecutor(max_workers=1) as gpool:
+            fut = gpool.submit(run_group, *work[0])
+            for gi, (group, bucket) in enumerate(work):
+                fut_next = (gpool.submit(run_group, *work[gi + 1])
+                            if gi + 1 < len(work) else None)
+                result = fut.result()
+                fut = fut_next
+                for j, idx in enumerate(group):
+                    responses[idx] = SeparationResponse(
+                        target=np.asarray(result.target[j]),
+                        residual=np.asarray(result.residual[j]),
+                        metadata={"bucket": bucket,
+                                  "batch_size": len(group)},
+                    )
         return responses  # type: ignore[return-value]

@@ -58,3 +58,37 @@ def test_sharded_separate_latents_matches_single_device():
     wav_sharded = np.asarray(decode_channel(sp, jnp.asarray(out), cfg=CFG,
                                             channel=0))
     np.testing.assert_allclose(wav_sharded, wav_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_clap_scoring_matches_single_device():
+    """The on-device CLAP scorer must produce identical scores when the
+    candidate batch is dp-sharded over the mesh (scorers scale with the
+    generation batch — no resharding at the rerank boundary)."""
+    from sam_audio_tpu.config import ClapRankerConfig
+    from sam_audio_tpu.models.clap import ClapModel
+    from sam_audio_tpu.ranking.clap import ClapRanker
+    from tests.test_mel_clap_imagebind import TINY_CLAP
+
+    clap_cfg = TINY_CLAP.__class__(**{
+        **TINY_CLAP.__dict__, "sample_rate": CFG.audio_codec.sample_rate})
+    clap = ClapModel.init_random(jax.random.PRNGKey(1), clap_cfg)
+    ranker = ClapRanker(ClapRankerConfig(), model=clap)
+
+    bsz, k = 4, 2
+    n = clap_cfg.n_samples
+    rng = np.random.RandomState(0)
+    sizes = [n, n // 2, n - 8, n // 4]
+    tgt = np.zeros((bsz, k, n), np.float32)
+    for i in range(bsz):
+        tgt[i, :, : sizes[i]] = rng.randn(k, sizes[i]) * 0.1
+
+    ref = np.asarray(ranker.score_on_device(jnp.asarray(tgt), sizes,
+                                            ["a", "b", "c", "d"]))
+
+    mesh = make_mesh(dp=2, tp=4)
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("dp", None, None))
+    tgt_sharded = jax.device_put(jnp.asarray(tgt), sharding)
+    out = np.asarray(ranker.score_on_device(tgt_sharded, sizes,
+                                            ["a", "b", "c", "d"]))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
