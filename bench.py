@@ -138,6 +138,12 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         aux = _gen_random_like(
             lambda k: clap_init(k, clap_cfg, jnp.bfloat16), jax.random.PRNGKey(7)
         )
+        if int8:
+            from sam_audio_tpu.ops.quant import quantize_clap_params
+
+            aux = jax.jit(quantize_clap_params)(aux)
+            print("int8 CLAP scorer: HTSAT + RoBERTa matmuls quantized",
+                  file=sys.stderr)
         c_ids, c_mask = get_roberta_tokenizer(clap_cfg.text_vocab)(
             descriptions, max_length=clap_cfg.max_text_len
         )
@@ -160,6 +166,12 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         aux = _gen_random_like(
             lambda k: judge_init(k, jcfg, jnp.bfloat16), jax.random.PRNGKey(7)
         )
+        if int8:
+            from sam_audio_tpu.ops.quant import quantize_judge_params
+
+            aux = jax.jit(quantize_judge_params)(aux)
+            print("int8 judge scorer: PE-AV + ModernBERT matmuls quantized",
+                  file=sys.stderr)
         j_ids = jnp.asarray(
             ByteFallbackTokenizer(jcfg.text_model.vocab_size)(descriptions)[0]
         )

@@ -267,6 +267,14 @@ class ClapModel:
             self._tokenizer = get_roberta_tokenizer(self.cfg.text_vocab)
         return self._tokenizer
 
+    def quantize(self):
+        """Opt-in int8 serving mode for the scorer: HTSAT + RoBERTa matmuls
+        run W8A8 on the MXU (see ops/quant.py). Non-parity; returns self."""
+        from sam_audio_tpu.ops.quant import quantize_clap_params
+
+        self.params = quantize_clap_params(self.params)
+        return self
+
     def get_audio_embedding(self, wavs: jnp.ndarray) -> jnp.ndarray:
         return clap_audio_embed(self.params, self.cfg, wavs)
 

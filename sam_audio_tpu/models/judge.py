@@ -197,5 +197,14 @@ class SAMAudioJudgeModel:
             )
         return cls(cfg, params)
 
+    def quantize(self):
+        """Opt-in int8 serving mode for the scorer stack: both PE-AV towers
+        + ModernBERT run W8A8 on the MXU (see ops/quant.py). Non-parity;
+        returns self."""
+        from sam_audio_tpu.ops.quant import quantize_judge_params
+
+        self.params = quantize_judge_params(self.params)
+        return self
+
     def __call__(self, **kwargs) -> SAMAudioJudgeOutput:
         return judge_forward(self.params, self.cfg, **kwargs)

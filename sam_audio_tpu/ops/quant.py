@@ -197,3 +197,99 @@ def quantize_sam_audio_params(params, bits: int = 8):
         quant = {8: quantize_linear, 4: quantize_linear_int4}[bits]
         out["proj"] = quant(params["proj"])
     return out
+
+
+def _quantize_groups(tree, paths):
+    """Quantize {group: {name: linear}} entries found at `paths` in a layer
+    dict (missing names — e.g. converted checkpoints with fused qkv under a
+    different key — stay full precision)."""
+    out = dict(tree)
+    for group, name in paths:
+        if group not in out:
+            continue
+        g = dict(out[group])
+        if name in g and isinstance(g[name], dict) and "weight" in g[name] \
+                and getattr(g[name]["weight"], "ndim", 0) >= 2:
+            g[name] = quantize_linear(g[name])
+        out[group] = g
+    return out
+
+
+_PEAV_LAYER_LINEARS = (
+    ("attn", "wq"), ("attn", "wk"), ("attn", "wv"), ("attn", "wo"),
+    ("attn", "in_proj"),  # fused-qkv naming family from converted towers
+    ("mlp", "fc1"), ("mlp", "fc2"), ("mlp", "w1"), ("mlp", "w2"),
+    ("mlp", "w3"),
+)
+
+_MODERNBERT_LAYER_LINEARS = (
+    ("attn", "Wqkv"), ("attn", "Wo"), ("mlp", "Wi"), ("mlp", "Wo"),
+)
+
+
+def quantize_peav_params(peav_params):
+    """Int8 for a PE-AV transformer tower (models/peav.py layout,
+    scan-stacked layers)."""
+    out = dict(peav_params)
+    out["layers"] = _quantize_groups(peav_params["layers"],
+                                     _PEAV_LAYER_LINEARS)
+    return out
+
+
+def quantize_modernbert_params(mb_params):
+    """Int8 for the ModernBERT text tower (models/modernbert.py layout,
+    python-list layers)."""
+    out = dict(mb_params)
+    out["layers"] = [
+        _quantize_groups(layer, _MODERNBERT_LAYER_LINEARS)
+        for layer in mb_params["layers"]
+    ]
+    return out
+
+
+def _quantize_flat(d, names):
+    """Quantize flat {name: linear} entries present in a (possibly stacked)
+    dict."""
+    out = dict(d)
+    for name in names:
+        if name in out and isinstance(out[name], dict) \
+                and "weight" in out[name] \
+                and getattr(out[name]["weight"], "ndim", 0) >= 2:
+            out[name] = quantize_linear(out[name])
+    return out
+
+
+def quantize_clap_params(clap_params):
+    """Int8 serving mode for the CLAP scorer: HTSAT swin blocks (qkv/proj +
+    MLP) and the RoBERTa text tower run W8A8; mel filterbank, patch embed,
+    norms, relative-position tables, and the projection MLPs (tiny) stay
+    full-precision."""
+    out = dict(clap_params)
+    audio = dict(out["audio_branch"])
+    audio["stages"] = [
+        {**stage,
+         "blocks": [_quantize_flat(blk, ("qkv", "proj", "fc1", "fc2"))
+                    for blk in stage["blocks"]]}
+        for stage in audio["stages"]
+    ]
+    out["audio_branch"] = audio
+    text = dict(out["text_branch"])
+    layers = _quantize_flat(text["layers"], ("fc1", "fc2"))
+    layers = dict(layers)
+    layers["attn"] = _quantize_flat(layers["attn"], ("wq", "wk", "wv", "wo"))
+    text["layers"] = layers
+    out["text_branch"] = text
+    return out
+
+
+def quantize_judge_params(judge_params):
+    """Int8 serving mode for the judge scorer stack: both PE-AV towers and
+    the ModernBERT text tower run W8A8 on the MXU; the DAC-VAE encoder,
+    fusion projections (small), head, and norms stay full-precision."""
+    out = dict(judge_params)
+    for tower in ("transformer", "finetune_transformer"):
+        if tower in out:
+            out[tower] = quantize_peav_params(out[tower])
+    if "text_model" in out:
+        out["text_model"] = quantize_modernbert_params(out["text_model"])
+    return out

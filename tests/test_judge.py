@@ -133,3 +133,27 @@ def test_judge_score_on_device_matches_host_path():
     )
     assert dev.shape == (b, k)
     np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_judge_close_to_fp():
+    """int8 judge scorer (quantize()): scores stay strongly correlated with
+    the fp forward on the tiny model."""
+    model = SAMAudioJudgeModel.init_random(jax.random.PRNGKey(0), CFG)
+    rng = np.random.RandomState(0)
+    b, tw, l = 3, 64, 6
+    kwargs = dict(
+        input_ids=jnp.asarray(rng.randint(3, 300, (b, l)).astype(np.int32)),
+        input_values=jnp.asarray(rng.randn(b, 1, tw).astype(np.float32) * 0.1),
+        separated_values=jnp.asarray(
+            rng.randn(b, 1, tw).astype(np.float32) * 0.1),
+        padding_mask=jnp.ones((b, tw), bool),
+    )
+    ref = np.asarray(model(**kwargs).overall)
+    model.quantize()
+    q = model.params["transformer"]["layers"]["attn"]["wq"]
+    assert "w8" in q and q["w8"].shape[0] == CFG.transformer.num_layers
+    assert "w8" in model.params["text_model"]["layers"][0]["attn"]["Wqkv"]
+    out = np.asarray(model(**kwargs).overall)
+    assert np.isfinite(out).all()
+    denom = np.abs(ref).mean() + 1e-6
+    assert np.abs(out - ref).mean() / denom < 0.2, (out, ref)

@@ -287,3 +287,23 @@ def test_separate_uses_on_device_clap_path():
                                np.asarray(res_host.target[0]),
                                rtol=1e-5, atol=1e-6)
     del orig_host
+
+
+def test_quantized_clap_close_to_fp():
+    """int8 CLAP scorer (ClapModel.quantize()): embeddings stay strongly
+    correlated with fp on the tiny model, and candidate rankings survive."""
+    model = ClapModel.init_random(jax.random.PRNGKey(5), TINY_CLAP)
+    rng = np.random.RandomState(0)
+    wavs = rng.randn(4, TINY_CLAP.n_samples).astype(np.float32) * 0.1
+    import jax.numpy as jnp
+
+    ref = np.asarray(model.get_audio_embedding(jnp.asarray(wavs)))
+    model.quantize()
+    blk = model.params["audio_branch"]["stages"][0]["blocks"][0]
+    assert "w8" in blk["qkv"]
+    assert "w8" in model.params["text_branch"]["layers"]["attn"]["wq"]
+    out = np.asarray(model.get_audio_embedding(jnp.asarray(wavs)))
+    assert np.isfinite(out).all()
+    # embeddings are L2-normalized; cosine per row must stay high
+    cos = np.sum(ref * out, axis=-1)
+    assert (cos > 0.98).all(), cos
