@@ -187,6 +187,56 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
                 compute_dtype=compute_dtype,
             )
             return out.overall.reshape(batch, candidates)
+    elif ranker == "imagebind":
+        from sam_audio_tpu.models.imagebind import (
+            ImageBindConfig,
+            ImageBindHugeConfig,
+            audio_to_melclips_jax,
+            imagebind_encode_audio,
+            imagebind_encode_vision,
+            imagebind_huge_init,
+            video_to_frame_clips,
+        )
+        from sam_audio_tpu.ops.resample import resample
+
+        ib_cfg = ImageBindHugeConfig()
+        pipe = ImageBindConfig()
+        aux = _gen_random_like(
+            lambda k: imagebind_huge_init(k, ib_cfg, jnp.bfloat16),
+            jax.random.PRNGKey(7),
+        )
+        if int8:
+            from sam_audio_tpu.ops.quant import quantize_imagebind_params
+
+            aux = jax.jit(quantize_imagebind_params)(aux)
+            print("int8 ImageBind scorer: audio+vision trunks quantized",
+                  file=sys.stderr)
+        # prompt video: 1 frame per latent frame at 224^2 (the processor's
+        # masked-video output shape). The VideoTransform (clip sampling,
+        # /255+normalize, crops) is host-side preprocessing like in the
+        # reference (ranking/imagebind.py:89-150); the measured step pays
+        # both towers — vision over b*5clips*3crops and audio over
+        # b*k*3clips — on device.
+        frames = rng.randint(0, 255, (batch, t_frames, 3, 224, 224)) \
+            .astype(np.uint8)
+        clips = jnp.asarray(np.stack([
+            video_to_frame_clips(frames[i], num_clips=5,
+                                 frames_per_clip=ib_cfg.vision_frames,
+                                 size=ib_cfg.image_size, num_crops=3)
+            for i in range(batch)
+        ]))
+
+        def score_candidates(aux, targets):
+            # full imagebind_huge rerank: ViT-H vision tower on the prompt
+            # clips + audio ViT on each candidate's mel clips, cosine per
+            # candidate (reference ranking/imagebind.py:174-197)
+            v_emb = imagebind_encode_vision(aux, ib_cfg, clips, compute_dtype)
+            wav16 = resample(targets.astype(jnp.float32), sr,
+                             pipe.sample_rate)
+            mels = audio_to_melclips_jax(wav16, pipe)
+            a_emb = imagebind_encode_audio(aux, ib_cfg, mels, compute_dtype)
+            return jnp.einsum(
+                "bkd,bd->bk", a_emb.reshape(batch, candidates, -1), v_emb)
     elif ranker == "energy":
         aux = {}
 
@@ -194,7 +244,8 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             return jnp.sum(jnp.square(targets), axis=-1).reshape(
                 batch, candidates)
     else:
-        raise SystemExit(f"unknown --ranker {ranker!r} (clap|judge|energy)")
+        raise SystemExit(
+            f"unknown --ranker {ranker!r} (clap|judge|imagebind|energy)")
     print(f"ranker: {ranker} (scorer compiled on device)", file=sys.stderr)
 
     # ONE fused XLA program per request: encode -> ODE -> decode k targets ->
@@ -290,7 +341,8 @@ if __name__ == "__main__":
                     help="opt-in fast-rerank mode (see separate(preview_nfe=))")
     ap.add_argument("--int8", action="store_true",
                     help="opt-in int8 DiT serving mode (SAMAudio.quantize())")
-    ap.add_argument("--ranker", choices=("clap", "judge", "energy"),
+    ap.add_argument("--ranker", choices=("clap", "judge", "imagebind",
+                                         "energy"),
                     default="clap",
                     help="candidate scorer compiled into the measured step "
                          "(default: real CLAP tower, matching the reference's "

@@ -138,10 +138,9 @@ class ImageBind:
             from sam_audio_tpu.models.imagebind import ImageBindModel
 
             if checkpoint:
-                from sam_audio_tpu.checkpoint import load_params
-                from sam_audio_tpu.models.imagebind import ImageBindConfig
+                from sam_audio_tpu.models.imagebind import load_imagebind_model
 
-                model = ImageBindModel(ImageBindConfig(), load_params(checkpoint))
+                model = load_imagebind_model(checkpoint)
             else:
                 model = ImageBindModel.init_random(jax.random.PRNGKey(0))
         self.model = model

@@ -124,6 +124,40 @@ def audio_to_melclips(wav: np.ndarray, cfg: ImageBindConfig) -> np.ndarray:
     return ((clips - AUDIO_MEAN) / AUDIO_STD).astype(np.float32)
 
 
+def audio_to_melclips_jax(wav: jnp.ndarray, cfg: ImageBindConfig) -> jnp.ndarray:
+    """Jittable batched `audio_to_melclips`: (B, T) device array at
+    cfg.sample_rate with static T -> (B, num_clips, target_frames, n_mels).
+
+    Same clip slicing (static start times from the static duration), per-clip
+    mean removal, Kaldi fbank, frame-axis zero pad/trim, and Normalize as the
+    numpy path — so candidate waveforms can be scored without leaving the
+    device (the reference runs imagebind.data.waveform2melspec on host,
+    sam_audio/ranking/imagebind.py:67-86)."""
+    from sam_audio_tpu.ops.mel import kaldi_fbank_jax
+
+    b, t = wav.shape
+    sr = cfg.sample_rate
+    clip_len = int(cfg.clip_duration_s * sr)
+    starts = clip_start_times(t / sr, cfg.clip_duration_s, cfg.num_audio_clips)
+    out = []
+    for s in starts:
+        clip = wav[:, int(s * sr): int((s + cfg.clip_duration_s) * sr)]
+        if clip.shape[-1] == 0:
+            clip = jnp.zeros((b, min(t, clip_len) or clip_len), wav.dtype)
+        clip = clip - jnp.mean(clip, axis=-1, keepdims=True)
+        fb = kaldi_fbank_jax(clip, sample_frequency=sr,
+                             num_mel_bins=cfg.n_mels, frame_length=25.0,
+                             frame_shift=10.0, window_type="hanning")
+        f = fb.shape[-2]
+        if f < cfg.target_frames:
+            fb = jnp.pad(fb, ((0, 0), (0, cfg.target_frames - f), (0, 0)))
+        else:
+            fb = fb[:, : cfg.target_frames]
+        out.append(fb)
+    clips = jnp.stack(out, axis=1)
+    return (clips - AUDIO_MEAN) / AUDIO_STD
+
+
 def encode_audio(params, cfg: ImageBindConfig, melclips: jnp.ndarray,
                  compute_dtype=None) -> jnp.ndarray:
     """melclips: (B, clips, F, M) -> (B, embed_dim) normalized."""
@@ -373,6 +407,111 @@ def video_to_frame_clips(frames: np.ndarray, num_clips: int = 5,
     return out.transpose(0, 2, 1, 3, 4)  # (nc*crops, 3, T, S, S)
 
 
+def imagebind_huge_init(key, cfg: ImageBindHugeConfig = None,
+                        dtype=jnp.float32, scale: float = 0.02):
+    """Random params in the converted-imagebind_huge layout (benchmarks and
+    tests; real weights come from `convert_imagebind_state_dict`). Matches
+    the published branch structure: audio trunk blocks carry torch-MHA
+    bias_kv and layer-scale and the stem has a norm; the vision trunk is
+    plain pre-LN with a trunk-level pre_transformer LayerNorm."""
+    from sam_audio_tpu.config import PEAVTransformerConfig
+    from sam_audio_tpu.models.peav import _layer_init
+
+    cfg = cfg or ImageBindHugeConfig()
+    ks = iter(jax.random.split(key, 16))
+
+    def trunk(k, dim, layers, heads, bias_kv, layer_scale):
+        tf = PEAVTransformerConfig(hidden_size=dim, num_layers=layers,
+                                   num_heads=heads, pos="none", act="gelu",
+                                   layer_norm_eps=cfg.ln_eps)
+
+        def one(lk):
+            p = _layer_init(lk, tf, dtype)
+            if bias_kv:
+                k1, k2 = jax.random.split(lk)
+                p["attn"]["bias_k"] = (
+                    jax.random.normal(k1, (dim,), dtype) * scale)
+                p["attn"]["bias_v"] = (
+                    jax.random.normal(k2, (dim,), dtype) * scale)
+            if layer_scale:
+                p["ls1"] = jnp.full((dim,), 1e-4, dtype)
+                p["ls2"] = jnp.full((dim,), 1e-4, dtype)
+            return p
+
+        return {"layers": jax.vmap(one)(jax.random.split(k, layers))}
+
+    def ln(dim):
+        return {"weight": jnp.ones((dim,), dtype),
+                "bias": jnp.zeros((dim,), dtype)}
+
+    gh = (cfg.n_mels - cfg.audio_kernel) // cfg.audio_stride + 1
+    gw = (cfg.target_frames - cfg.audio_kernel) // cfg.audio_stride + 1
+    g = cfg.image_size // cfg.vision_patch
+    audio = {
+        "stem": {"weight": jax.random.normal(
+            next(ks), (cfg.audio_dim, 1, cfg.audio_kernel, cfg.audio_kernel),
+            dtype) * scale},
+        "stem_norm": ln(cfg.audio_dim),
+        "cls_token": jax.random.normal(
+            next(ks), (1, 1, cfg.audio_dim), dtype) * scale,
+        "pos_embed": jax.random.normal(
+            next(ks), (1, gh * gw + 1, cfg.audio_dim), dtype) * scale,
+        "trunk": trunk(next(ks), cfg.audio_dim, cfg.audio_layers,
+                       cfg.audio_heads, bias_kv=True, layer_scale=True),
+        "head_norm": ln(cfg.audio_dim),
+        "head_proj": {"weight": jax.random.normal(
+            next(ks), (cfg.embed_dim, cfg.audio_dim), dtype) * scale},
+    }
+    vision = {
+        "stem": {"weight": jax.random.normal(
+            next(ks), (cfg.vision_dim, 3, cfg.vision_frames,
+                       cfg.vision_patch, cfg.vision_patch), dtype) * scale},
+        "cls_token": jax.random.normal(
+            next(ks), (1, 1, cfg.vision_dim), dtype) * scale,
+        "pos_embed": jax.random.normal(
+            next(ks), (1, g * g + 1, cfg.vision_dim), dtype) * scale,
+        "pre_ln": ln(cfg.vision_dim),
+        "trunk": trunk(next(ks), cfg.vision_dim, cfg.vision_layers,
+                       cfg.vision_heads, bias_kv=False, layer_scale=False),
+        "head_norm": ln(cfg.vision_dim),
+        "head_proj": {"weight": jax.random.normal(
+            next(ks), (cfg.embed_dim, cfg.vision_dim), dtype) * scale},
+    }
+    return {"audio": audio, "vision": vision}
+
+
+_audio_embed_jit_cache = {}
+
+
+def _audio_embed_from_wav(params, rows, *, variant, cfg, pipeline, sr_in,
+                          compute_dtype=None):
+    """One jitted device program: resample to the pipeline rate -> mel clips
+    -> audio tower -> normalized embedding. `variant` picks the huge
+    (weight-faithful) or light (structural) tower executor."""
+    if "fn" not in _audio_embed_jit_cache:
+        from functools import partial
+
+        from sam_audio_tpu.ops.resample import resample
+
+        @partial(jax.jit, static_argnames=("variant", "cfg", "pipeline",
+                                           "sr_in", "compute_dtype"))
+        def _embed(params, rows, *, variant, cfg, pipeline, sr_in,
+                   compute_dtype=None):
+            if sr_in != pipeline.sample_rate:
+                rows = resample(rows.astype(jnp.float32), sr_in,
+                                pipeline.sample_rate)
+            mels = audio_to_melclips_jax(rows, pipeline)
+            if variant == "huge":
+                return imagebind_encode_audio(params, cfg, mels, compute_dtype)
+            return encode_audio(params, cfg, mels, compute_dtype)
+
+        _audio_embed_jit_cache["fn"] = _embed
+    return _audio_embed_jit_cache["fn"](params, rows, variant=variant,
+                                        cfg=cfg, pipeline=pipeline,
+                                        sr_in=sr_in,
+                                        compute_dtype=compute_dtype)
+
+
 class ImageBindHugeModel:
     """Weight-faithful imagebind_huge audio<->vision scorer."""
 
@@ -393,6 +532,19 @@ class ImageBindHugeModel:
         if unconverted:
             raise ValueError(f"unconverted imagebind keys: {unconverted[:10]}")
         return cls(cfg, params)
+
+    @classmethod
+    def init_random(cls, key, cfg: ImageBindHugeConfig = None,
+                    pipeline: ImageBindConfig = None):
+        cfg = cfg or ImageBindHugeConfig()
+        return cls(cfg, imagebind_huge_init(key, cfg), pipeline)
+
+    def embed_audio_device(self, rows: jnp.ndarray, sample_rate: int):
+        """(B, T) device waveforms (static T, no padding) -> (B, embed_dim)
+        without a host round-trip; one jitted program per shape."""
+        return _audio_embed_from_wav(self.params, rows, variant="huge",
+                                     cfg=self.cfg, pipeline=self.pipeline,
+                                     sr_in=int(sample_rate))
 
     def embed_audio(self, wavs: Sequence[np.ndarray], sample_rate: int):
         from sam_audio_tpu.ops.resample import resample_np
@@ -526,3 +678,24 @@ class ImageBindModel:
         clips = np.stack([video_to_clips(np.asarray(v), self.cfg)
                           for v in videos])
         return encode_vision(self.params, self.cfg, jnp.asarray(clips))
+
+    def embed_audio_device(self, rows: jnp.ndarray, sample_rate: int):
+        """(B, T) device waveforms (static T, no padding) -> (B, embed_dim)
+        without a host round-trip; one jitted program per shape."""
+        return _audio_embed_from_wav(self.params, rows, variant="light",
+                                     cfg=self.cfg, pipeline=self.cfg,
+                                     sr_in=int(sample_rate))
+
+
+def load_imagebind_model(checkpoint: str):
+    """Load a converted ImageBind .npz, sniffing the layout: conv-stem
+    branches (`audio.stem`, from `convert_imagebind_state_dict` /
+    `scripts/convert_checkpoint.py imagebind`) run the weight-faithful
+    imagebind_huge executors; the structural layout (`audio.patch_embed`)
+    runs the light towers."""
+    from sam_audio_tpu.checkpoint import load_params
+
+    params = load_params(checkpoint)
+    if "stem" in params.get("audio", {}):
+        return ImageBindHugeModel(ImageBindHugeConfig(), params)
+    return ImageBindModel(ImageBindConfig(), params)

@@ -541,7 +541,18 @@ class SAMAudio:
         'scorers compiled on device'. Returns per-item winner indices, or
         None to fall back to the host ranker path."""
         if batch.masked_video is not None and self.visual_ranker is not None:
-            return None  # visual path stays host-side (video transforms)
+            r = self.visual_ranker
+            t_pad = int(tgt_dev.shape[-1])
+            # clip start times depend on the TRUE duration: exact only for
+            # unpadded equal-length candidates (single-length-bucket serving)
+            if (hasattr(r, "supports_on_device")
+                    and all(int(s) == t_pad for s in sizes)
+                    and r.supports_on_device(sizes, self.sample_rate)):
+                scores = r.score_on_device(
+                    tgt_dev.reshape(b, k, -1), sizes, batch.masked_video,
+                    sample_rate=self.sample_rate)
+                return list(np.argmax(np.asarray(scores), axis=1))
+            return None  # host path (padded / uneven candidate lengths)
         r = self.text_ranker
         if r is None or not hasattr(r, "supports_on_device"):
             return None

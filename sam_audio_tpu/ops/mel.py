@@ -152,6 +152,25 @@ def kaldi_mel_banks(num_bins: int, padded_window_size: int,
     return fb.astype(np.float32)
 
 
+def _kaldi_window(window_type: str, n: int,
+                  blackman_coeff: float = 0.42) -> np.ndarray:
+    """Kaldi feature window (periodic=False, i.e. n-1 denominators)."""
+    i = np.arange(n, dtype=np.float64)
+    if window_type == "hanning":
+        return 0.5 - 0.5 * np.cos(2.0 * np.pi * i / (n - 1))
+    if window_type == "hamming":
+        return 0.54 - 0.46 * np.cos(2.0 * np.pi * i / (n - 1))
+    if window_type == "povey":
+        return (0.5 - 0.5 * np.cos(2.0 * np.pi * i / (n - 1))) ** 0.85
+    if window_type == "rectangular":
+        return np.ones(n)
+    if window_type == "blackman":
+        a = 2.0 * np.pi / (n - 1)
+        return (blackman_coeff - 0.5 * np.cos(a * i)
+                + (0.5 - blackman_coeff) * np.cos(2.0 * a * i))
+    raise ValueError(f"unknown window_type {window_type}")
+
+
 def kaldi_fbank(waveform: np.ndarray, sample_frequency: float = 16000.0,
                 num_mel_bins: int = 128, frame_length: float = 25.0,
                 frame_shift: float = 10.0, window_type: str = "hanning",
@@ -188,23 +207,8 @@ def kaldi_fbank(waveform: np.ndarray, sample_frequency: float = 16000.0,
     if preemphasis_coefficient != 0.0:
         prev = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
         frames = frames - preemphasis_coefficient * prev
-    n = window_size
-    i = np.arange(n, dtype=np.float64)
-    if window_type == "hanning":
-        win = 0.5 - 0.5 * np.cos(2.0 * np.pi * i / (n - 1))
-    elif window_type == "hamming":
-        win = 0.54 - 0.46 * np.cos(2.0 * np.pi * i / (n - 1))
-    elif window_type == "povey":
-        win = (0.5 - 0.5 * np.cos(2.0 * np.pi * i / (n - 1))) ** 0.85
-    elif window_type == "rectangular":
-        win = np.ones(n)
-    elif window_type == "blackman":
-        a = 2.0 * np.pi / (n - 1)
-        win = (blackman_coeff - 0.5 * np.cos(a * i)
-               + (0.5 - blackman_coeff) * np.cos(2.0 * a * i))
-    else:
-        raise ValueError(f"unknown window_type {window_type}")
-    frames = frames * win[None, :]
+    frames = frames * _kaldi_window(window_type, window_size,
+                                    blackman_coeff)[None, :]
     if padded != window_size:
         frames = np.pad(frames, ((0, 0), (0, padded - window_size)))
     spectrum = np.abs(np.fft.rfft(frames, axis=1))
@@ -217,6 +221,52 @@ def kaldi_fbank(waveform: np.ndarray, sample_frequency: float = 16000.0,
         eps = float(np.finfo(np.float32).eps)
         mel_energies = np.log(np.maximum(mel_energies, eps))
     return mel_energies.astype(np.float32)
+
+
+def kaldi_fbank_jax(waveform: jnp.ndarray, sample_frequency: float = 16000.0,
+                    num_mel_bins: int = 128, frame_length: float = 25.0,
+                    frame_shift: float = 10.0, window_type: str = "hanning",
+                    low_freq: float = 20.0, high_freq: float = 0.0,
+                    preemphasis_coefficient: float = 0.97,
+                    remove_dc_offset: bool = True) -> jnp.ndarray:
+    """Jittable batched counterpart of `kaldi_fbank`: (..., T) device array
+    with static T -> (..., num_frames, num_mel_bins) log-mel, f32.
+
+    Same snip-edges framing, per-frame DC removal, replicate-edge
+    preemphasis, periodic=False window, and Kaldi mel banks as the numpy
+    path (which computes in f64 — agreement is ~1e-4 on the log-mels). The
+    power spectrum runs as a DFT matmul against baked cos/sin matrices
+    (window_size x bins), which maps onto the MXU and keeps the whole
+    ImageBind audio frontend inside one compiled scoring program (reference
+    sam_audio/ranking/imagebind.py:75-77 runs this on host per clip)."""
+    wav = waveform.astype(jnp.float32)
+    t = wav.shape[-1]
+    shift = int(sample_frequency * frame_shift * 0.001)
+    size = int(sample_frequency * frame_length * 0.001)
+    padded = _next_power_of_2(size)
+    if t < size:
+        return jnp.zeros(wav.shape[:-1] + (0, num_mel_bins), jnp.float32)
+    m = 1 + (t - size) // shift
+    idx = np.arange(m)[:, None] * shift + np.arange(size)[None, :]
+    frames = wav[..., idx]  # (..., m, size)
+    if remove_dc_offset:
+        frames = frames - frames.mean(axis=-1, keepdims=True)
+    if preemphasis_coefficient != 0.0:
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - preemphasis_coefficient * prev
+    frames = frames * jnp.asarray(
+        _kaldi_window(window_type, size), jnp.float32)
+    # rFFT of the zero-padded frame == DFT over the first `size` samples
+    k = np.arange(padded // 2 + 1)
+    ang = -2.0 * np.pi * np.outer(np.arange(size), k) / padded
+    re = frames @ jnp.asarray(np.cos(ang), jnp.float32)
+    im = frames @ jnp.asarray(np.sin(ang), jnp.float32)
+    power = re * re + im * im
+    fb = kaldi_mel_banks(num_mel_bins, padded, float(sample_frequency),
+                         low_freq, high_freq)
+    mel = power @ jnp.asarray(fb.T, jnp.float32)
+    eps = float(np.finfo(np.float32).eps)
+    return jnp.log(jnp.maximum(mel, eps))
 
 
 def log_mel_spectrogram(x, amin: float = 1e-10, ref: float = 1.0,

@@ -282,6 +282,18 @@ def quantize_clap_params(clap_params):
     return out
 
 
+def quantize_imagebind_params(ib_params):
+    """Int8 serving mode for the ImageBind scorer: both branch trunks
+    (PE-AV-layout ViTs) run W8A8; stems, cls/pos tables, norms, and head
+    projections (tiny) stay full-precision."""
+    out = {}
+    for branch in ("audio", "vision"):
+        b = dict(ib_params[branch])
+        b["trunk"] = quantize_peav_params(b["trunk"])
+        out[branch] = b
+    return out
+
+
 def quantize_judge_params(judge_params):
     """Int8 serving mode for the judge scorer stack: both PE-AV towers and
     the ModernBERT text tower run W8A8 on the MXU; the DAC-VAE encoder,

@@ -25,11 +25,9 @@ class ImageBindRanker(Ranker):
             from sam_audio_tpu.models.imagebind import ImageBindModel
 
             if self.config.checkpoint:
-                from sam_audio_tpu.checkpoint import load_params
-                from sam_audio_tpu.models.imagebind import ImageBindConfig
+                from sam_audio_tpu.models.imagebind import load_imagebind_model
 
-                self._model = ImageBindModel(ImageBindConfig(),
-                                             load_params(self.config.checkpoint))
+                self._model = load_imagebind_model(self.config.checkpoint)
             elif self.allow_random:
                 # explicit opt-in for tests/benchmarks only — random weights
                 # produce meaningless scores
@@ -48,6 +46,32 @@ class ImageBindRanker(Ranker):
                     "allow_random=True only for tests."
                 )
         return self._model
+
+    def supports_on_device(self, sizes, sample_rate: int) -> bool:
+        """On-device scoring is exact (vs the host path) when every candidate
+        has the same TRUE length — the mel clip start times depend on the
+        true duration, which must also equal the decoded array length (the
+        caller checks sizes == padded length). May raise ValueError when no
+        weights are staged, like the host path's first score."""
+        self.model  # fail loudly without weights
+        return len({int(s) for s in sizes}) == 1 and int(sizes[0]) > 0
+
+    def score_on_device(self, targets, sizes, videos,
+                        sample_rate: int = 48_000):
+        """targets: (bsz, k, T) device array of decoded candidates; videos:
+        per-item host frames (N, C, H, W). The candidates never round-trip
+        through host numpy: resample -> Kaldi mel clips -> audio tower run as
+        one compiled program. The video tower also runs on device (its frame
+        transforms are host-side numpy, once per call — the reference runs
+        the whole VideoTransform on host per call, ranking/imagebind.py:
+        89-150)."""
+        import jax.numpy as jnp
+
+        bsz, k, t = targets.shape
+        video_emb = self.model.embed_videos(videos)
+        a_emb = self.model.embed_audio_device(
+            targets.reshape(bsz * k, t), sample_rate)
+        return jnp.einsum("bkd,bd->bk", a_emb.reshape(bsz, k, -1), video_emb)
 
     def __call__(
         self,

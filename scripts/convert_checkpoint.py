@@ -159,9 +159,9 @@ def convert_tower(kind: str, argv):
             print("verify: audio embedding finite", emb.shape)
 
     elif kind == "imagebind":
-        from sam_audio_tpu.models.imagebind import ImageBindModel
+        from sam_audio_tpu.models.imagebind import ImageBindHugeModel
 
-        model = ImageBindModel.from_torch_checkpoint(args.torch)
+        model = ImageBindHugeModel.from_torch_checkpoint(args.torch)
         save_params(args.out, model.params)
         print(f"wrote {args.out} (set ImageBindRankerConfig.checkpoint to it)")
         if args.verify:

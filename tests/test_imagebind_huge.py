@@ -111,3 +111,100 @@ def test_video_to_frame_clips_shapes():
     clips = video_to_frame_clips(frames, num_clips=5, frames_per_clip=2,
                                  size=28, num_crops=3)
     assert clips.shape == (15, 3, 2, 28, 28)
+
+
+def test_imagebind_huge_init_matches_converted_layout():
+    """The random bench init must produce the exact converted-checkpoint
+    pytree (same key paths, same per-leaf element counts) so benchmark
+    numbers represent the real imagebind_huge compute."""
+    import jax
+
+    from sam_audio_tpu.models.imagebind import imagebind_huge_init
+
+    model_t, _, _ = tiny_imagebind()
+    sd = {k: v.detach().numpy() for k, v in model_t.state_dict().items()}
+    converted, unconverted, _ = convert_imagebind_state_dict(sd, TINY)
+    assert unconverted == []
+    rnd = imagebind_huge_init(jax.random.PRNGKey(0), TINY)
+
+    def leaf_map(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {jax.tree_util.keystr(p): int(np.prod(v.shape))
+                for p, v in flat}
+
+    assert leaf_map(rnd) == leaf_map(converted)
+
+
+def test_imagebind_huge_embed_audio_device_matches_host():
+    import jax
+
+    from sam_audio_tpu.models.imagebind import (
+        ImageBindConfig,
+        ImageBindHugeModel,
+    )
+
+    pipeline = ImageBindConfig(sample_rate=8000, clip_duration_s=0.25,
+                               num_audio_clips=2, n_mels=48, target_frames=56,
+                               n_fft=128, hop_length=32)
+    model = ImageBindHugeModel.init_random(jax.random.PRNGKey(1), TINY,
+                                           pipeline)
+    rng = np.random.RandomState(0)
+    wavs = (0.3 * rng.randn(3, 4000)).astype(np.float32)
+    host = np.asarray(model.embed_audio(list(wavs), sample_rate=8000))
+    dev = np.asarray(model.embed_audio_device(jnp.asarray(wavs), 8000))
+    np.testing.assert_allclose(dev, host, rtol=2e-3, atol=2e-3)
+
+
+def test_load_imagebind_model_sniffs_layout(tmp_path):
+    """Converted (huge conv-stem) vs structural (light patch_embed) .npz
+    checkpoints dispatch to the matching executor class."""
+    import jax
+
+    from sam_audio_tpu.checkpoint import save_params
+    from sam_audio_tpu.models.imagebind import (
+        ImageBindHugeModel,
+        ImageBindModel,
+        imagebind_huge_init,
+        imagebind_init,
+        load_imagebind_model,
+    )
+
+    huge = tmp_path / "huge.npz"
+    save_params(str(huge), imagebind_huge_init(jax.random.PRNGKey(0), TINY))
+    m = load_imagebind_model(str(huge))
+    assert isinstance(m, ImageBindHugeModel)
+    assert "stem" in m.params["audio"]
+
+    from sam_audio_tpu.models.imagebind import ImageBindConfig
+
+    light_cfg = ImageBindConfig(audio_hidden=16, audio_layers=1,
+                                audio_heads=2, vision_hidden=16,
+                                vision_layers=1, vision_heads=2, embed_dim=8)
+    light = tmp_path / "light.npz"
+    save_params(str(light),
+                imagebind_init(jax.random.PRNGKey(0), light_cfg))
+    m2 = load_imagebind_model(str(light))
+    assert isinstance(m2, ImageBindModel)
+
+
+def test_quantize_imagebind_params_close_to_fp():
+    """int8 ImageBind scorer: trunk linears quantized, embeddings stay
+    strongly correlated with fp on the tiny huge model."""
+    import jax
+
+    from sam_audio_tpu.models.imagebind import (
+        imagebind_encode_audio,
+        imagebind_huge_init,
+    )
+    from sam_audio_tpu.ops.quant import quantize_imagebind_params
+
+    params = imagebind_huge_init(jax.random.PRNGKey(0), TINY)
+    rng = np.random.RandomState(0)
+    mel = (rng.randn(2, 2, 56, 48) * 0.5).astype(np.float32)
+    ref = np.asarray(imagebind_encode_audio(params, TINY, jnp.asarray(mel)))
+    q = quantize_imagebind_params(params)
+    assert "w8" in q["audio"]["trunk"]["layers"]["attn"]["wq"]
+    assert "w8" in q["vision"]["trunk"]["layers"]["mlp"]["fc1"]
+    out = np.asarray(imagebind_encode_audio(q, TINY, jnp.asarray(mel)))
+    cos = np.sum(ref * out, axis=-1)  # embeddings are L2-normalized
+    assert (cos > 0.98).all(), cos

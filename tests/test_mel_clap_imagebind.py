@@ -307,3 +307,58 @@ def test_quantized_clap_close_to_fp():
     # embeddings are L2-normalized; cosine per row must stay high
     cos = np.sum(ref * out, axis=-1)
     assert (cos > 0.98).all(), cos
+
+
+def test_kaldi_fbank_jax_matches_numpy():
+    """Jittable Kaldi fbank (f32, DFT-matmul rFFT) vs the numpy f64 oracle."""
+    from sam_audio_tpu.ops.mel import kaldi_fbank, kaldi_fbank_jax
+
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(3, 1600) * 0.3).astype(np.float32)
+    ours = np.asarray(kaldi_fbank_jax(jnp.asarray(wav)))
+    assert ours.shape == (3, 8, 128)
+    for i in range(3):
+        ref = kaldi_fbank(wav[i])
+        np.testing.assert_allclose(ours[i], ref, rtol=1e-3, atol=2e-3)
+    # below one 25 ms window -> zero frames (kaldi min_duration behavior)
+    assert kaldi_fbank_jax(jnp.zeros((2, 100))).shape == (2, 0, 128)
+
+
+def test_audio_to_melclips_jax_matches_numpy():
+    from sam_audio_tpu.models.imagebind import audio_to_melclips_jax
+
+    rng = np.random.RandomState(1)
+    wav = (rng.randn(2, 5000) * 0.3).astype(np.float32)
+    ours = np.asarray(audio_to_melclips_jax(jnp.asarray(wav), TINY_IB))
+    assert ours.shape == (2, 2, 16, 32)
+    for i in range(2):
+        ref = audio_to_melclips(wav[i], TINY_IB)
+        np.testing.assert_allclose(ours[i], ref, rtol=1e-3, atol=2e-3)
+
+
+def test_imagebind_score_on_device_matches_host():
+    """On-device ImageBind scoring (resample -> mel clips -> audio tower in
+    one compiled program) vs the host numpy pipeline."""
+    model = ImageBindModel.init_random(jax.random.PRNGKey(0), TINY_IB)
+    ranker = ImageBindRanker(ImageBindRankerConfig(), model=model)
+    rng = np.random.RandomState(0)
+    b, k, t = 2, 3, 4000
+    tgt = (rng.randn(b, k, t) * 0.1).astype(np.float32)
+    videos = [rng.randint(0, 255, (6, 3, 48, 64), np.uint8) for _ in range(b)]
+
+    assert ranker.supports_on_device([t, t], TINY_IB.sample_rate)
+    assert not ranker.supports_on_device([t, t - 1], TINY_IB.sample_rate)
+
+    dev = np.asarray(ranker.score_on_device(
+        jnp.asarray(tgt), [t, t], videos, sample_rate=TINY_IB.sample_rate))
+    host = ranker(extracted_audio=[tgt[i] for i in range(b)], videos=videos,
+                  sample_rate=TINY_IB.sample_rate)
+    assert dev.shape == (b, k)
+    np.testing.assert_allclose(dev, host, rtol=2e-4, atol=2e-4)
+
+    # resampling path: jittable conv resampler vs the numpy one
+    dev16 = np.asarray(ranker.score_on_device(
+        jnp.asarray(tgt), [t, t], videos, sample_rate=16000))
+    host16 = ranker(extracted_audio=[tgt[i] for i in range(b)], videos=videos,
+                    sample_rate=16000)
+    np.testing.assert_allclose(dev16, host16, rtol=5e-3, atol=5e-3)

@@ -82,3 +82,57 @@ def test_visual_reranking_path():
                          rng=jax.random.PRNGKey(3))
     assert res.target[0].shape == (64,)
     assert np.isfinite(res.target[0]).all()
+
+
+def test_separate_uses_on_device_imagebind_path():
+    """separate() with an ImageBind visual ranker and unpadded equal-length
+    candidates must score on device and pick the same winner as the host
+    path."""
+    model = make_model()
+    tiny_ib = ImageBindConfig(
+        sample_rate=8000, clip_duration_s=0.25, num_audio_clips=2, n_mels=32,
+        target_frames=16, n_fft=128, hop_length=64, audio_patch=8,
+        audio_hidden=16, audio_layers=1, audio_heads=2, image_size=32,
+        image_patch=16, num_video_clips=2, vision_hidden=16, vision_layers=1,
+        vision_heads=2, embed_dim=8,
+    )
+    ib_model = ImageBindModel.init_random(jax.random.PRNGKey(2), tiny_ib)
+    ranker = ImageBindRanker(ImageBindRankerConfig(), model=ib_model)
+    model.visual_ranker = ranker
+
+    p = SAMAudioProcessor(
+        audio_hop_length=CFG.audio_codec.hop_length,
+        audio_sampling_rate=CFG.audio_codec.sample_rate,
+    )
+    rng = np.random.RandomState(0)
+    # long enough for real mel content (>= one 25 ms kaldi window after the
+    # device path's 8 kHz resample), hop-aligned so sizes == padded length
+    audios = [rng.randn(1, 2048).astype(np.float32) * 0.1]
+    video = rng.randint(0, 255, (6, 3, 14, 14), np.uint8)
+    mask = np.zeros_like(video)
+    mask[:, :, :7] = 1
+    batch = p(descriptions=["on-screen sound"], audios=audios,
+              masked_videos=p.mask_videos([video], [mask]))
+    t = batch.anchor_alignment.shape[-1]
+    k = 2
+    noise = rng.randn(k, t, 2 * CFG.audio_codec.codebook_dim).astype(
+        np.float32)
+
+    calls = {"device": 0}
+    orig = ranker.score_on_device
+
+    def spy(*a, **kw):
+        calls["device"] += 1
+        return orig(*a, **kw)
+
+    ranker.score_on_device = spy
+    res_dev = model.separate(batch, noise=noise, reranking_candidates=k)
+    assert calls["device"] == 1
+
+    ranker2 = ImageBindRanker(ImageBindRankerConfig(), model=ib_model)
+    ranker2.supports_on_device = lambda *a, **kw: False
+    model.visual_ranker = ranker2
+    res_host = model.separate(batch, noise=noise, reranking_candidates=k)
+    np.testing.assert_allclose(np.asarray(res_dev.target[0]),
+                               np.asarray(res_host.target[0]),
+                               rtol=1e-5, atol=1e-6)
