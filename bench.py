@@ -62,7 +62,7 @@ def _gen_random_like(init_fn, key, scale: float = 0.02):
 
 def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
          iters: int = 3, preview_nfe: int = 0, int8: bool = False,
-         ranker: str = "clap", int4: bool = False):
+         ranker: str = "clap", int4: bool = False, visual: bool = False):
     from sam_audio_tpu.config import SAMAudioConfig
     from sam_audio_tpu.models.sam_audio import (
         decode_channel,
@@ -120,6 +120,37 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         jnp.float32,
     )
 
+    # --- visual prompting: PE-Core-L14-336 conditioning in the measured step.
+    # The reference encodes ONE frame per latent frame (~25 fps, model.py:
+    # 186-191, vision_encoder.py:47-69) before candidate expansion — the ViT-L
+    # tower over t_frames 336^2 frames is the single largest FLOP block of the
+    # visual pipeline (SURVEY.md hot loop #3). Frames are generated on device
+    # pre-normalized (the resize/mask transform is host-side preprocessing,
+    # like the reference's).
+    pe_aux = {}
+    if visual:
+        from sam_audio_tpu.models.pe_clip import encode_images, pe_clip_init
+
+        vcfg = cfg.vision_encoder
+        pe_aux = _gen_random_like(
+            lambda k: pe_clip_init(k, vcfg, jnp.bfloat16),
+            jax.random.PRNGKey(11),
+        )
+        frames = jax.jit(
+            lambda k: jax.random.normal(
+                k, (batch * t_frames, 3, vcfg.image_size, vcfg.image_size),
+                jnp.bfloat16) * 0.5
+        )(jax.random.PRNGKey(12))
+        print(f"visual prompting: PE vision tower over {batch * t_frames} "
+              f"frames @{vcfg.image_size}^2 compiled into the step",
+              file=sys.stderr)
+
+        def encode_video_features(pe_aux):
+            feats = encode_images(pe_aux, frames, vcfg,
+                                  compute_dtype=compute_dtype)
+            feats = feats.reshape(batch, t_frames, -1)
+            return jnp.swapaxes(feats, 1, 2).astype(jnp.float32)  # (B, D, T)
+
     # --- candidate scorer, compiled INTO the separation program -------------
     # The reference reranks inside separate() (model.py:306-330); the measured
     # step must therefore pay the scorer's forward. Weights are random (this
@@ -160,7 +191,7 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             )
     elif ranker == "judge":
         from sam_audio_tpu.config import SAMAudioJudgeConfig
-        from sam_audio_tpu.models.judge import judge_forward, judge_init
+        from sam_audio_tpu.models.judge import judge_forward_grouped, judge_init
 
         jcfg = SAMAudioJudgeConfig()
         aux = _gen_random_like(
@@ -175,15 +206,15 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         j_ids = jnp.asarray(
             ByteFallbackTokenizer(jcfg.text_model.vocab_size)(descriptions)[0]
         )
-        j_ids_rep = jnp.repeat(j_ids, candidates, axis=0)
 
         def score_candidates(aux, targets):
-            # full judge stack: ModernBERT + DAC-VAE encoder on (mixture,
-            # candidate) pairs + shared/finetune PE-AV transformers
-            mix_rep = jnp.repeat(audios, candidates, axis=0)
-            out = judge_forward(
-                aux, jcfg, input_ids=j_ids_rep, input_values=mix_rep,
-                separated_values=targets[:, None, :],
+            # full judge stack, grouped: ModernBERT + DAC-VAE encoder + shared
+            # PE-AV tower run once per ITEM (mixture side), the finetune PE-AV
+            # tower per candidate — exact parity with the flat pair batch
+            # (judge_forward_grouped)
+            out = judge_forward_grouped(
+                aux, jcfg, input_ids=j_ids, input_values=audios,
+                separated_values=targets[:, None, :], k=candidates,
                 compute_dtype=compute_dtype,
             )
             return out.overall.reshape(batch, candidates)
@@ -254,11 +285,12 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
     # relay-attached backend pays ~25 ms per dispatch, so collapsing the
     # multi-program pipeline into one is a direct latency win.
     @partial(jax.jit, static_argnames=())
-    def step(params, aux, noise):
+    def step(params, aux, pe_aux, noise):
+        video_features = encode_video_features(pe_aux) if visual else None
         latents = separate_latents(
             params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
-            audio_pad_mask, noise, None,
-            cfg=cfg, candidates=candidates, use_video=False,
+            audio_pad_mask, noise, video_features,
+            cfg=cfg, candidates=candidates, use_video=visual,
         )
         targets = decode_channel(params, latents, cfg=cfg, channel=0)
         scores = score_candidates(aux, targets)
@@ -271,13 +303,14 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
 
     @partial(jax.jit, static_argnames=())
-    def step_preview(params, aux, noise):
+    def step_preview(params, aux, pe_aux, noise):
         # preview-NFE reranking: cheap candidate solves, full solve for
         # the winner (separate(preview_nfe=...) opt-in mode)
+        video_features = encode_video_features(pe_aux) if visual else None
         preview = separate_latents(
             params, audios, text_ids, text_mask, anchor_ids,
-            anchor_alignment, audio_pad_mask, noise, None,
-            cfg=cfg, candidates=candidates, use_video=False,
+            anchor_alignment, audio_pad_mask, noise, video_features,
+            cfg=cfg, candidates=candidates, use_video=visual,
             ode_step_size=2.0 / preview_nfe,
         )
         targets_prev = decode_channel(params, preview, cfg=cfg, channel=0)
@@ -287,8 +320,8 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
                                          candidates=candidates)
         chosen = separate_latents(
             params, audios, text_ids, text_mask, anchor_ids,
-            anchor_alignment, audio_pad_mask, chosen_noise, None,
-            cfg=cfg, candidates=1, use_video=False,
+            anchor_alignment, audio_pad_mask, chosen_noise, video_features,
+            cfg=cfg, candidates=1, use_video=visual,
         )
         targets = decode_channel(params, chosen, cfg=cfg, channel=0)
         residual = decode_channel(params, chosen, cfg=cfg, channel=1)
@@ -296,7 +329,7 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
 
     def run():
         targets, residual, csum = (step_preview if preview_nfe else step)(
-            params, aux, noise)
+            params, aux, pe_aux, noise)
         float(csum)  # sync point
         return targets, residual
 
@@ -341,6 +374,11 @@ if __name__ == "__main__":
                     help="opt-in fast-rerank mode (see separate(preview_nfe=))")
     ap.add_argument("--int8", action="store_true",
                     help="opt-in int8 DiT serving mode (SAMAudio.quantize())")
+    ap.add_argument("--visual", action="store_true",
+                    help="visual prompting: compile the PE-Core vision tower "
+                         "(1 frame per latent frame @336^2) into the measured "
+                         "step; pair with --ranker imagebind for the "
+                         "reference's full visual pipeline")
     ap.add_argument("--ranker", choices=("clap", "judge", "imagebind",
                                          "energy"),
                     default="clap",
@@ -352,4 +390,5 @@ if __name__ == "__main__":
                          "(SAMAudio.quantize(bits=4); k=1 latency study)")
     args = ap.parse_args()
     main(args.candidates, args.seconds, args.batch, args.iters,
-         args.preview_nfe, args.int8, args.ranker, args.int4)
+         args.preview_nfe, args.int8, args.ranker, args.int4,
+         visual=args.visual)

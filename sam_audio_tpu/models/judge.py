@@ -111,6 +111,15 @@ def judge_forward(
     input_features = tower_out.last_hidden_state[:b]
     hyp_features = tower_out.last_hidden_state[b:]
 
+    return _fuse_and_score(params, cfg, text_features, input_features,
+                           hyp_features, feature_padding_mask, compute_dtype)
+
+
+def _fuse_and_score(params, cfg, text_features, input_features, hyp_features,
+                    feature_padding_mask, compute_dtype):
+    """Per-candidate fusion tail (reference judge.py:112-132): bottleneck the
+    (hyp, input) tower features, add the broadcast text bottleneck, run the
+    finetune PE-AV tower, score 4 axes, masked-mean pool, de-normalize."""
     audio_features = N.linear(
         params["cat_audio_proj"],
         jnp.concatenate([hyp_features, input_features], axis=2),
@@ -152,6 +161,66 @@ def judge_forward(
         precision=de_norm[:, 2:3],
         faithfulness=de_norm[:, 3:4],
     )
+
+
+def judge_forward_grouped(
+    params,
+    cfg: SAMAudioJudgeConfig,
+    input_ids: jnp.ndarray,        # (B, L) — ONE text per item
+    input_values: jnp.ndarray,     # (B, 1, Tw) — ONE mixture per item
+    separated_values: jnp.ndarray, # (B*k, 1, Tw) — k candidates per item
+    attention_mask: Optional[jnp.ndarray] = None,   # (B, L)
+    padding_mask: Optional[jnp.ndarray] = None,     # (B, Tw), shared by an
+                                                    # item's mixture+candidates
+    k: int = 1,
+    compute_dtype=None,
+) -> SAMAudioJudgeOutput:
+    """Exact-parity dedup of `judge_forward` for k-candidate reranking.
+
+    `judge_forward` on the flattened (B*k) pair batch runs ModernBERT k times
+    per text and the codec encoder + shared PE-AV tower k times per mixture —
+    all on identical inputs (the reference pays the same redundancy,
+    sam_audio/ranking/judge.py:29-32). Here the mixture-side towers run once
+    per ITEM and their features are repeated k* afterwards: 1 text row and
+    B*(k+1) codec/tower streams instead of B*k and 2*B*k. Same math, same
+    outputs (row order i-major like the reference flatten), ~44% less
+    mixture-tower compute at k=8."""
+    b = input_values.shape[0]
+    if attention_mask is None:
+        attention_mask = jnp.ones(input_ids.shape, bool)
+    nth = cfg.nth_text_layer
+    last, hidden = modernbert_encode(
+        params["text_model"], input_ids, attention_mask, cfg.text_model,
+        compute_dtype, output_hidden_states=nth is not None,
+    )
+    text_out = last if nth is None else hidden[nth]
+    text_features = N.linear(params["text_proj1"], text_out[:, 0], compute_dtype)
+
+    # codec + shared tower, separately per side: B mixture streams and B*k
+    # candidate streams stay tile-aligned batches (a concatenated B+B*k batch
+    # measured SLOWER on v5e — conv batch padding eats the dedup saving)
+    if padding_mask is not None:
+        item_feat_mask = padding_mask[:, :: cfg.audio_codec.hop_length]
+        cand_feat_mask = jnp.repeat(item_feat_mask, k, axis=0)
+    else:
+        item_feat_mask = cand_feat_mask = None
+
+    def _shared_tower(values, mask):
+        feats = dacvae.encode(params["audio_codec"], values, cfg.audio_codec,
+                              compute_dtype)
+        x = N.linear(params["data_proj"], jnp.swapaxes(feats, 1, 2),
+                     compute_dtype)
+        return peav_apply(params["transformer"], x, cfg.transformer,
+                          padding_mask=mask,
+                          compute_dtype=compute_dtype).last_hidden_state
+
+    input_features = jnp.repeat(_shared_tower(input_values, item_feat_mask),
+                                k, axis=0)
+    hyp_features = _shared_tower(separated_values, cand_feat_mask)
+
+    return _fuse_and_score(params, cfg, jnp.repeat(text_features, k, axis=0),
+                           input_features, hyp_features, cand_feat_mask,
+                           compute_dtype)
 
 
 class SAMAudioJudgeModel:

@@ -27,15 +27,17 @@ def _judge_score_jit(params, ids, mask, mixtures, separated, padding_mask,
     import jax
 
     if "fn" not in _judge_jit_cache:
-        from sam_audio_tpu.models.judge import judge_forward
+        from sam_audio_tpu.models.judge import judge_forward_grouped
 
         @partial(jax.jit, static_argnames=("cfg", "bsz", "k"))
         def _score(params, ids, mask, mixtures, separated, padding_mask,
                    *, cfg, bsz, k):
-            out = judge_forward(
+            # grouped = mixture-side towers run once per ITEM (exact parity
+            # with the flat path; see judge_forward_grouped)
+            out = judge_forward_grouped(
                 params, cfg, input_ids=ids, input_values=mixtures,
                 separated_values=separated, attention_mask=mask,
-                padding_mask=padding_mask,
+                padding_mask=padding_mask, k=k,
                 compute_dtype=jnp.dtype(cfg.compute_dtype),
             )
             return out.overall.reshape(bsz, k)
@@ -91,18 +93,18 @@ class JudgeRanker(Ranker):
         model = self.model
         cfg = model.cfg
         bsz, k, t_pad = targets.shape
-        texts = [descriptions[i] for i in range(bsz) for _ in range(k)]
-        ids, mask = self.processor.tokenizer(texts, max_length=512)
-        sizes_r = jnp.repeat(jnp.asarray(np.asarray(sizes, np.int64)), k)
-        padding_mask = jnp.arange(t_pad)[None, :] < sizes_r[:, None]
+        # one text / mixture / mask row per ITEM — the grouped judge forward
+        # repeats the mixture-side features across candidates on device
+        ids, mask = self.processor.tokenizer(list(descriptions), max_length=512)
+        sizes_a = jnp.asarray(np.asarray(sizes, np.int64))
+        padding_mask = jnp.arange(t_pad)[None, :] < sizes_a[:, None]  # (b, T)
         mix = jnp.asarray(mixtures)
         if mix.shape[-1] < t_pad:  # equalize pad lengths (zeros are masked)
             mix = jnp.pad(mix, ((0, 0), (0, 0), (0, t_pad - mix.shape[-1])))
-        mix_r = jnp.repeat(mix[..., :t_pad], k, axis=0)  # (b*k, 1, Tpad)
         sep = targets.reshape(bsz * k, 1, t_pad)
         return _judge_score_jit(
-            model.params, jnp.asarray(ids), jnp.asarray(mask), mix_r, sep,
-            padding_mask, cfg=cfg, bsz=bsz, k=k,
+            model.params, jnp.asarray(ids), jnp.asarray(mask),
+            mix[..., :t_pad], sep, padding_mask, cfg=cfg, bsz=bsz, k=k,
         )
 
     def __call__(

@@ -9,7 +9,12 @@ from sam_audio_tpu.config import (
     PEAVTransformerConfig,
     SAMAudioJudgeConfig,
 )
-from sam_audio_tpu.models.judge import SAMAudioJudgeModel, judge_forward, judge_init
+from sam_audio_tpu.models.judge import (
+    SAMAudioJudgeModel,
+    judge_forward,
+    judge_forward_grouped,
+    judge_init,
+)
 from sam_audio_tpu.processor import SAMAudioJudgeProcessor
 from sam_audio_tpu.ranking.judge import JudgeRanker
 from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
@@ -62,6 +67,44 @@ def test_judge_denormalization():
     )
     np.testing.assert_allclose(np.asarray(out.overall), [[10.0]], atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.faithfulness), [[40.0]], atol=1e-5)
+
+
+def test_judge_forward_grouped_matches_flat():
+    """judge_forward_grouped (mixture-side towers once per item, features
+    repeated k* on device) must equal judge_forward on the k-repeated flat
+    pair batch — the serving dedup is exact parity, incl. padding masks."""
+    params = judge_init(jax.random.PRNGKey(0), CFG)
+    hop = CFG.audio_codec.hop_length
+    rng = np.random.RandomState(3)
+    b, k, l = 2, 3, 5
+    t_pad = 6 * hop
+    sizes = [4 * hop, 6 * hop]
+    ids = rng.randint(3, 300, (b, l)).astype(np.int32)
+    mix = np.zeros((b, 1, t_pad), np.float32)
+    sep = np.zeros((b * k, 1, t_pad), np.float32)
+    for i in range(b):
+        mix[i, 0, : sizes[i]] = rng.randn(sizes[i]) * 0.1
+        for j in range(k):
+            sep[i * k + j, 0, : sizes[i]] = rng.randn(sizes[i]) * 0.1
+    pad_mask = np.arange(t_pad)[None, :] < np.asarray(sizes)[:, None]
+
+    grouped = judge_forward_grouped(
+        params, CFG, input_ids=jnp.asarray(ids), input_values=jnp.asarray(mix),
+        separated_values=jnp.asarray(sep), padding_mask=jnp.asarray(pad_mask),
+        k=k,
+    )
+    flat = judge_forward(
+        params, CFG,
+        input_ids=jnp.asarray(np.repeat(ids, k, axis=0)),
+        input_values=jnp.asarray(np.repeat(mix, k, axis=0)),
+        separated_values=jnp.asarray(sep),
+        padding_mask=jnp.asarray(np.repeat(pad_mask, k, axis=0)),
+    )
+    for g, f in ((grouped.overall, flat.overall), (grouped.recall, flat.recall),
+                 (grouped.precision, flat.precision),
+                 (grouped.faithfulness, flat.faithfulness)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(f),
+                                   rtol=1e-5, atol=1e-5)
 
 
 def test_judge_ranker_scores_shape():
