@@ -136,7 +136,7 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             lambda k: pe_clip_init(k, vcfg, jnp.bfloat16),
             jax.random.PRNGKey(11),
         )
-        frames = jax.jit(
+        pe_frames = jax.jit(
             lambda k: jax.random.normal(
                 k, (batch * t_frames, 3, vcfg.image_size, vcfg.image_size),
                 jnp.bfloat16) * 0.5
@@ -146,7 +146,7 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
               file=sys.stderr)
 
         def encode_video_features(pe_aux):
-            feats = encode_images(pe_aux, frames, vcfg,
+            feats = encode_images(pe_aux, pe_frames, vcfg,
                                   compute_dtype=compute_dtype)
             feats = feats.reshape(batch, t_frames, -1)
             return jnp.swapaxes(feats, 1, 2).astype(jnp.float32)  # (B, D, T)
