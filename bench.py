@@ -5,11 +5,18 @@ wall-clock second per chip, at reranking_candidates=8 on 10 s clips — the
 full jitted pipeline (DAC-VAE encode -> T5 text encode -> 32-NFE midpoint ODE
 over the 1B-param DiT -> DAC-VAE decode of all k targets -> ON-DEVICE
 candidate scoring with the real CLAP tower (HTSAT-tiny audio branch +
-RoBERTa text branch, compiled into the same XLA program) -> argmax ->
-decode of the winner's residual. This matches the reference's end-to-end
-`separate(reranking_candidates=8)` semantics where reranking happens inside
-separate (reference sam_audio/model/model.py:306-330) and the BASELINE.json
-north star ("CLAP/Judge/ImageBind scorers compiled on device").
+RoBERTa text branch) -> argmax -> decode of the winner's residual. This
+matches the reference's end-to-end `separate(reranking_candidates=8)`
+semantics where reranking happens inside separate (reference
+sam_audio/model/model.py:306-330) and the BASELINE.json north star
+("CLAP/Judge/ImageBind scorers compiled on device").
+
+The scorer runs as a SECOND device-sequenced XLA dispatch by default
+(matching production separate()); one host sync covers both programs.
+Fusing it into the generation program measured ~56 ms slower at k=8 CLAP
+(XLA scheduling interference) — `--fused-scorer` keeps that A/B, and
+`--split3` additionally splits ODE from decode (measured: no further
+change). See PARITY.md "Split-dispatch study".
 
 --ranker judge times the full judge stack instead (ModernBERT text tower +
 DAC-VAE encoder on mixture+candidate pairs + 2x PE-AV transformers, reference
@@ -62,7 +69,8 @@ def _gen_random_like(init_fn, key, scale: float = 0.02):
 
 def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
          iters: int = 3, preview_nfe: int = 0, int8: bool = False,
-         ranker: str = "clap", int4: bool = False, visual: bool = False):
+         ranker: str = "clap", int4: bool = False, visual: bool = False,
+         split_scorer: bool = True):
     from sam_audio_tpu.config import SAMAudioConfig
     from sam_audio_tpu.models.sam_audio import (
         decode_channel,
@@ -303,6 +311,74 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
 
     @partial(jax.jit, static_argnames=())
+    def step_gen(params, pe_aux, noise):
+        # generation half of the split-scorer experiment: ODE + target decode
+        video_features = encode_video_features(pe_aux) if visual else None
+        latents = separate_latents(
+            params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
+            audio_pad_mask, noise, video_features,
+            cfg=cfg, candidates=candidates, use_video=visual,
+        )
+        targets = decode_channel(params, latents, cfg=cfg, channel=0)
+        return latents, targets
+
+    @partial(jax.jit, static_argnames=())
+    def step_ode(params, pe_aux, noise):
+        # 3-way-split experiment: ODE alone, decode as its own dispatch
+        video_features = encode_video_features(pe_aux) if visual else None
+        return separate_latents(
+            params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
+            audio_pad_mask, noise, video_features,
+            cfg=cfg, candidates=candidates, use_video=visual,
+        )
+
+    @partial(jax.jit, static_argnames=())
+    def step_decode(params, latents):
+        return decode_channel(params, latents, cfg=cfg, channel=0)
+
+    @partial(jax.jit, static_argnames=())
+    def step_score(params, aux, latents, targets):
+        # scoring half: scorer tower + argmax + lazy residual decode. Runs as
+        # a SECOND dispatch, device-sequenced behind step_gen via its inputs;
+        # one host sync on this program's checksum covers both.
+        scores = score_candidates(aux, targets)
+        idxs = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        chosen = gather_candidates(latents, idxs, cfg=cfg,
+                                   candidates=candidates)
+        residual = decode_channel(params, chosen, cfg=cfg, channel=1)
+        return residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
+
+    @partial(jax.jit, static_argnames=())
+    def step_gen_preview(params, pe_aux, noise):
+        # preview-mode generation half: cheap-NFE candidate solves + decode
+        video_features = encode_video_features(pe_aux) if visual else None
+        preview = separate_latents(
+            params, audios, text_ids, text_mask, anchor_ids,
+            anchor_alignment, audio_pad_mask, noise, video_features,
+            cfg=cfg, candidates=candidates, use_video=visual,
+            ode_step_size=2.0 / preview_nfe if preview_nfe else 2.0 / 32,
+        )
+        return decode_channel(params, preview, cfg=cfg, channel=0)
+
+    @partial(jax.jit, static_argnames=())
+    def step_select_noise(aux, targets_prev, noise):
+        scores = score_candidates(aux, targets_prev)
+        idxs = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+        return gather_candidates(noise, idxs, cfg=cfg, candidates=candidates)
+
+    @partial(jax.jit, static_argnames=())
+    def step_final(params, pe_aux, chosen_noise):
+        video_features = encode_video_features(pe_aux) if visual else None
+        chosen = separate_latents(
+            params, audios, text_ids, text_mask, anchor_ids,
+            anchor_alignment, audio_pad_mask, chosen_noise, video_features,
+            cfg=cfg, candidates=1, use_video=visual,
+        )
+        targets = decode_channel(params, chosen, cfg=cfg, channel=0)
+        residual = decode_channel(params, chosen, cfg=cfg, channel=1)
+        return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
+
+    @partial(jax.jit, static_argnames=())
     def step_preview(params, aux, pe_aux, noise):
         # preview-NFE reranking: cheap candidate solves, full solve for
         # the winner (separate(preview_nfe=...) opt-in mode)
@@ -328,8 +404,20 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
 
     def run():
-        targets, residual, csum = (step_preview if preview_nfe else step)(
-            params, aux, pe_aux, noise)
+        if split_scorer and preview_nfe:
+            targets_prev = step_gen_preview(params, pe_aux, noise)
+            chosen_noise = step_select_noise(aux, targets_prev, noise)
+            targets, residual, csum = step_final(params, pe_aux, chosen_noise)
+        elif split_scorer == 3:
+            latents = step_ode(params, pe_aux, noise)
+            targets = step_decode(params, latents)
+            residual, csum = step_score(params, aux, latents, targets)
+        elif split_scorer:
+            latents, targets = step_gen(params, pe_aux, noise)
+            residual, csum = step_score(params, aux, latents, targets)
+        else:
+            targets, residual, csum = (step_preview if preview_nfe else step)(
+                params, aux, pe_aux, noise)
         float(csum)  # sync point
         return targets, residual
 
@@ -374,6 +462,15 @@ if __name__ == "__main__":
                     help="opt-in fast-rerank mode (see separate(preview_nfe=))")
     ap.add_argument("--int8", action="store_true",
                     help="opt-in int8 DiT serving mode (SAMAudio.quantize())")
+    ap.add_argument("--split3", action="store_true",
+                    help="experiment: also split ODE and decode into separate "
+                         "dispatches (3 programs total)")
+    ap.add_argument("--fused-scorer", action="store_true",
+                    help="compile the scorer+rerank INTO the generation "
+                         "program instead of dispatching it second (measured "
+                         "SLOWER: XLA scheduling interference costs ~56 ms at "
+                         "k=8 CLAP — the split default matches production "
+                         "separate(); outputs identical)")
     ap.add_argument("--visual", action="store_true",
                     help="visual prompting: compile the PE-Core vision tower "
                          "(1 frame per latent frame @336^2) into the measured "
@@ -391,4 +488,5 @@ if __name__ == "__main__":
     args = ap.parse_args()
     main(args.candidates, args.seconds, args.batch, args.iters,
          args.preview_nfe, args.int8, args.ranker, args.int4,
-         visual=args.visual)
+         visual=args.visual,
+         split_scorer=3 if args.split3 else not args.fused_scorer)
