@@ -70,7 +70,7 @@ def _gen_random_like(init_fn, key, scale: float = 0.02):
 def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
          iters: int = 3, preview_nfe: int = 0, int8: bool = False,
          ranker: str = "clap", int4: bool = False, visual: bool = False,
-         split_scorer: bool = True):
+         split_scorer: bool = True, visual_stride: int = 1):
     from sam_audio_tpu.config import SAMAudioConfig
     from sam_audio_tpu.models.sam_audio import (
         decode_channel,
@@ -154,9 +154,24 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
               file=sys.stderr)
 
         def encode_video_features(pe_aux):
-            feats = encode_images(pe_aux, pe_frames, vcfg,
-                                  compute_dtype=compute_dtype)
-            feats = feats.reshape(batch, t_frames, -1)
+            if visual_stride > 1:
+                from sam_audio_tpu.models.pe_clip import (
+                    interp_strided_features,
+                )
+
+                fr = pe_frames.reshape(batch, t_frames,
+                                       *pe_frames.shape[1:])[:, ::visual_stride]
+                feats = encode_images(pe_aux, fr.reshape(-1, *fr.shape[2:]),
+                                      vcfg, compute_dtype=compute_dtype)
+                feats = feats.reshape(batch, fr.shape[1], -1)
+                feats = jax.vmap(
+                    lambda f: interp_strided_features(f, t_frames,
+                                                      visual_stride)
+                )(feats)
+            else:
+                feats = encode_images(pe_aux, pe_frames, vcfg,
+                                      compute_dtype=compute_dtype)
+                feats = feats.reshape(batch, t_frames, -1)
             return jnp.swapaxes(feats, 1, 2).astype(jnp.float32)  # (B, D, T)
 
     # --- candidate scorer, compiled INTO the separation program -------------
@@ -311,9 +326,15 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
 
     @partial(jax.jit, static_argnames=())
-    def step_gen(params, pe_aux, noise):
+    def step_vision(pe_aux):
+        # split path: the PE vision tower as its own dispatch (same
+        # interference hypothesis as the scorer — it is the largest
+        # non-DiT compute block when --visual is on)
+        return encode_video_features(pe_aux)
+
+    @partial(jax.jit, static_argnames=())
+    def step_gen(params, video_features, noise):
         # generation half of the split-scorer experiment: ODE + target decode
-        video_features = encode_video_features(pe_aux) if visual else None
         latents = separate_latents(
             params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
             audio_pad_mask, noise, video_features,
@@ -323,9 +344,8 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return latents, targets
 
     @partial(jax.jit, static_argnames=())
-    def step_ode(params, pe_aux, noise):
+    def step_ode(params, video_features, noise):
         # 3-way-split experiment: ODE alone, decode as its own dispatch
-        video_features = encode_video_features(pe_aux) if visual else None
         return separate_latents(
             params, audios, text_ids, text_mask, anchor_ids, anchor_alignment,
             audio_pad_mask, noise, video_features,
@@ -349,9 +369,8 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
 
     @partial(jax.jit, static_argnames=())
-    def step_gen_preview(params, pe_aux, noise):
+    def step_gen_preview(params, video_features, noise):
         # preview-mode generation half: cheap-NFE candidate solves + decode
-        video_features = encode_video_features(pe_aux) if visual else None
         preview = separate_latents(
             params, audios, text_ids, text_mask, anchor_ids,
             anchor_alignment, audio_pad_mask, noise, video_features,
@@ -367,8 +386,7 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return gather_candidates(noise, idxs, cfg=cfg, candidates=candidates)
 
     @partial(jax.jit, static_argnames=())
-    def step_final(params, pe_aux, chosen_noise):
-        video_features = encode_video_features(pe_aux) if visual else None
+    def step_final(params, video_features, chosen_noise):
         chosen = separate_latents(
             params, audios, text_ids, text_mask, anchor_ids,
             anchor_alignment, audio_pad_mask, chosen_noise, video_features,
@@ -404,16 +422,18 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
 
     def run():
+        if split_scorer:
+            vf = step_vision(pe_aux) if visual else None
         if split_scorer and preview_nfe:
-            targets_prev = step_gen_preview(params, pe_aux, noise)
+            targets_prev = step_gen_preview(params, vf, noise)
             chosen_noise = step_select_noise(aux, targets_prev, noise)
-            targets, residual, csum = step_final(params, pe_aux, chosen_noise)
+            targets, residual, csum = step_final(params, vf, chosen_noise)
         elif split_scorer == 3:
-            latents = step_ode(params, pe_aux, noise)
+            latents = step_ode(params, vf, noise)
             targets = step_decode(params, latents)
             residual, csum = step_score(params, aux, latents, targets)
         elif split_scorer:
-            latents, targets = step_gen(params, pe_aux, noise)
+            latents, targets = step_gen(params, vf, noise)
             residual, csum = step_score(params, aux, latents, targets)
         else:
             targets, residual, csum = (step_preview if preview_nfe else step)(
@@ -471,6 +491,10 @@ if __name__ == "__main__":
                          "SLOWER: XLA scheduling interference costs ~56 ms at "
                          "k=8 CLAP — the split default matches production "
                          "separate(); outputs identical)")
+    ap.add_argument("--visual-stride", type=int, default=1,
+                    help="opt-in fast visual mode: encode every Nth frame "
+                         "through the PE tower and linearly interpolate the "
+                         "conditioning features (separate(visual_stride=))")
     ap.add_argument("--visual", action="store_true",
                     help="visual prompting: compile the PE-Core vision tower "
                          "(1 frame per latent frame @336^2) into the measured "
@@ -489,4 +513,5 @@ if __name__ == "__main__":
     main(args.candidates, args.seconds, args.batch, args.iters,
          args.preview_nfe, args.int8, args.ranker, args.int4,
          visual=args.visual,
-         split_scorer=3 if args.split3 else not args.fused_scorer)
+         split_scorer=3 if args.split3 else not args.fused_scorer,
+         visual_stride=args.visual_stride)

@@ -328,9 +328,32 @@ class PerceptionEncoder:
         return out
 
 
-def encode_videos(model, masked_videos, t_frames: int):
+def interp_strided_features(feats: jnp.ndarray, n_full: int,
+                            stride: int) -> jnp.ndarray:
+    """Linearly interpolate per-frame features encoded at frame indices
+    0, stride, 2*stride, ... back to all `n_full` frame positions.
+
+    feats: (N_s, D) with N_s == ceil(n_full / stride). Positions beyond the
+    last encoded frame hold its value (clamped lerp). Exact identity when
+    stride == 1 or when all frames are identical."""
+    pos = jnp.arange(n_full) / stride
+    lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, feats.shape[0] - 1)
+    hi = jnp.clip(lo + 1, 0, feats.shape[0] - 1)
+    w = (pos - lo).astype(feats.dtype)[:, None]
+    return feats[lo] * (1 - w) + feats[hi] * w
+
+
+def encode_videos(model, masked_videos, t_frames: int, stride: int = 1):
     """Hook used by SAMAudio._encode_videos: list of (N, C, H, W) ->
-    (B, vision_dim, T) aligned to latent frames."""
+    (B, vision_dim, T) aligned to latent frames.
+
+    stride > 1 (opt-in, NOT reference semantics — the reference encodes
+    every frame, vision_encoder.py:47-69): encode every stride-th frame
+    through the PE tower and linearly interpolate the features to all
+    frame positions. Cuts the dominant visual-prompting FLOP block ~stride
+    times; real video is temporally smooth so interpolated conditioning
+    features track the full encode closely (see
+    `SAMAudio.separate(visual_stride=)`)."""
     enc = getattr(model, "vision_encoder", None)
     if enc is None:
         if not getattr(model, "allow_random_towers", False):
@@ -348,7 +371,18 @@ def encode_videos(model, masked_videos, t_frames: int):
             jax.random.PRNGKey(0), model.cfg.vision_encoder
         )
         model.vision_encoder = enc
-    feats = enc(masked_videos)  # (B, N_max, dim)
+    if stride > 1:
+        lens = [int(np.asarray(v).shape[0]) for v in masked_videos]
+        feats_s = enc([np.asarray(v)[::stride] for v in masked_videos])
+        n_max = max(lens)
+        rows = []
+        for i, n in enumerate(lens):
+            n_s = -(-n // stride)  # ceil
+            f = interp_strided_features(feats_s[i, :n_s], n, stride)
+            rows.append(jnp.pad(f, ((0, n_max - n), (0, 0))))
+        feats = jnp.stack(rows)  # (B, N_max, dim)
+    else:
+        feats = enc(masked_videos)  # (B, N_max, dim)
     b, n, d = feats.shape
     if n != t_frames:
         pad = max(0, t_frames - n)

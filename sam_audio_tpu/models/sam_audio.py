@@ -388,6 +388,7 @@ class SAMAudio:
         predict_spans: bool = False,
         rng: Optional[jax.Array] = None,
         preview_nfe: Optional[int] = None,
+        visual_stride: int = 1,
     ) -> SeparationResult:
         """Separate `batch` (a processor.Batch). Mirrors reference
         model.py:247-338 including the `noise=` injection point used for
@@ -397,7 +398,14 @@ class SAMAudio:
         ranker, candidates are generated and ranked at a cheap NFE budget
         (e.g. 8 => 4 midpoint steps), then ONLY the winning noise is re-solved
         at the full budget — ~2.7x faster at k=8 for a small selection-quality
-        tradeoff. The returned audio is always a full-budget solve."""
+        tradeoff. The returned audio is always a full-budget solve.
+
+        `visual_stride` (opt-in, NOT reference semantics): encode every
+        stride-th video frame through the PE vision tower and linearly
+        interpolate the conditioning features to all latent frames. The
+        reference encodes one frame per latent frame
+        (model.py:186-191) — the visual pipeline's dominant FLOP block;
+        stride trades it down ~stride times (see PARITY.md)."""
         ode_opt = ode_opt or DFLT_ODE_OPT
         k = int(reranking_candidates)
         cfg = self.cfg
@@ -423,7 +431,8 @@ class SAMAudio:
         video_features = None
         use_video = batch.masked_video is not None
         if use_video:
-            video_features = self._encode_videos(batch.masked_video, t_frames)
+            video_features = self._encode_videos(batch.masked_video, t_frames,
+                                                 stride=int(visual_stride))
 
         latent_ch = 2 * cfg.audio_codec.codebook_dim
         if noise is None:
@@ -597,10 +606,10 @@ class SAMAudio:
 
     # -- optional towers ------------------------------------------------------
 
-    def _encode_videos(self, masked_videos, t_frames: int):
+    def _encode_videos(self, masked_videos, t_frames: int, stride: int = 1):
         from sam_audio_tpu.models.pe_clip import encode_videos  # lazy
 
-        return encode_videos(self, masked_videos, t_frames)
+        return encode_videos(self, masked_videos, t_frames, stride=stride)
 
     def _predict_spans_into_batch(self, batch, audios):
         spans = self.span_predictor(self, batch, audios)

@@ -42,7 +42,8 @@ class SeparationPipeline:
     def __init__(self, model, processor: Optional[SAMAudioProcessor] = None,
                  max_batch: int = 4, bucket_seconds: float = 2.0,
                  reranking_candidates: int = 1, predict_spans: bool = False,
-                 num_io_threads: int = 4, preview_nfe: Optional[int] = None):
+                 num_io_threads: int = 4, preview_nfe: Optional[int] = None,
+                 visual_stride: int = 1):
         self.model = model
         self.processor = processor or SAMAudioProcessor(
             audio_hop_length=model.hop_length,
@@ -55,6 +56,7 @@ class SeparationPipeline:
         self.reranking_candidates = reranking_candidates
         self.predict_spans = predict_spans
         self.preview_nfe = preview_nfe  # opt-in fast rerank (separate())
+        self.visual_stride = visual_stride  # opt-in strided PE encode
         self.num_io_threads = num_io_threads
         self.timer = StageTimer()
 
@@ -111,6 +113,7 @@ class SeparationPipeline:
                     reranking_candidates=self.reranking_candidates,
                     predict_spans=self.predict_spans,
                     preview_nfe=self.preview_nfe,
+                    visual_stride=self.visual_stride,
                 )
             return result
 

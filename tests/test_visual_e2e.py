@@ -136,3 +136,79 @@ def test_separate_uses_on_device_imagebind_path():
     np.testing.assert_allclose(np.asarray(res_dev.target[0]),
                                np.asarray(res_host.target[0]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_interp_strided_features_exact_on_linear_ramp():
+    from sam_audio_tpu.models.pe_clip import interp_strided_features
+
+    # features that are linear in the frame index are reproduced exactly
+    n, stride, d = 11, 3, 4
+    idx_s = np.arange(0, n, stride, dtype=np.float32)  # encoded positions
+    feats_s = np.outer(idx_s, np.arange(1, d + 1, dtype=np.float32))
+    out = np.asarray(interp_strided_features(jax.numpy.asarray(feats_s),
+                                             n, stride))
+    # positions past the last encoded frame clamp to it
+    full = np.outer(np.minimum(np.arange(n), idx_s[-1]).astype(np.float32),
+                    np.arange(1, d + 1, dtype=np.float32))
+    np.testing.assert_allclose(out, full, rtol=1e-6, atol=1e-6)
+    # constant features stay constant
+    const = np.ones((len(idx_s), d), np.float32) * 7.0
+    out_c = np.asarray(interp_strided_features(jax.numpy.asarray(const),
+                                               n, stride))
+    np.testing.assert_allclose(out_c, np.ones((n, d), np.float32) * 7.0)
+
+
+def test_visual_stride_static_video_matches_full_encode():
+    """A static video (identical frames) must give IDENTICAL conditioning
+    features under any stride — lerp between equal features is a no-op —
+    so separate(visual_stride=N) equals the default exactly."""
+    model = make_model()
+    model.params["align_masked_video"]["gate"] = (
+        model.params["align_masked_video"]["gate"] + 1.0
+    )
+    p = SAMAudioProcessor(
+        audio_hop_length=CFG.audio_codec.hop_length,
+        audio_sampling_rate=CFG.audio_codec.sample_rate,
+    )
+    rng = np.random.RandomState(0)
+    audios = [rng.randn(1, 64).astype(np.float32) * 0.1]
+    frame = rng.randint(0, 255, (1, 3, 14, 14), np.uint8)
+    video = np.repeat(frame, 6, axis=0)
+    mask = np.zeros_like(video)
+    mask[:, :, :7] = 1
+
+    def batch():
+        return p(descriptions=["on-screen sound"], audios=audios,
+                 masked_videos=p.mask_videos([video], [mask]))
+
+    noise = np.zeros((1, batch().anchor_alignment.shape[-1],
+                      2 * CFG.audio_codec.codebook_dim), np.float32)
+    res_full = model.separate(batch(), noise=noise)
+    res_s2 = model.separate(batch(), noise=noise, visual_stride=2)
+    res_s4 = model.separate(batch(), noise=noise, visual_stride=4)
+    np.testing.assert_allclose(res_s2.target[0], res_full.target[0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(res_s4.target[0], res_full.target[0],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_visual_stride_moving_video_runs_and_conditions():
+    model = make_model()
+    model.params["align_masked_video"]["gate"] = (
+        model.params["align_masked_video"]["gate"] + 1.0
+    )
+    batch = make_batch()
+    noise = np.zeros((1, batch.anchor_alignment.shape[-1],
+                      2 * CFG.audio_codec.codebook_dim), np.float32)
+    res = model.separate(batch, noise=noise, visual_stride=3)
+    assert np.isfinite(res.target[0]).all()
+    # still visually conditioned: differs from the text-only path
+    p = SAMAudioProcessor(
+        audio_hop_length=CFG.audio_codec.hop_length,
+        audio_sampling_rate=CFG.audio_codec.sample_rate,
+    )
+    rng = np.random.RandomState(0)
+    batch_t = p(descriptions=["on-screen sound"],
+                audios=[rng.randn(1, 64).astype(np.float32) * 0.1])
+    res_t = model.separate(batch_t, noise=noise)
+    assert np.abs(res.target[0] - res_t.target[0]).max() > 1e-6
