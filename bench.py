@@ -144,6 +144,12 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             lambda k: pe_clip_init(k, vcfg, jnp.bfloat16),
             jax.random.PRNGKey(11),
         )
+        if int8:
+            from sam_audio_tpu.ops.quant import quantize_pe_params
+
+            pe_aux = jax.jit(quantize_pe_params)(pe_aux)
+            print("int8 PE vision tower: ViT matmuls quantized",
+                  file=sys.stderr)
         pe_frames = jax.jit(
             lambda k: jax.random.normal(
                 k, (batch * t_frames, 3, vcfg.image_size, vcfg.image_size),

@@ -1,0 +1,72 @@
+"""Microbench: XLA SDPA vs Pallas flash attention at the PE-Core ViT-L
+serving shape (B=250 frames, S=577 tokens, H=16, D=64).
+
+The XLA path materializes the fp32 (B,H,S,S) score matrix (~5.3 GB) plus the
+bf16 weights (~2.7 GB) per layer — for the 24-layer tower that HBM traffic,
+not FLOPs, dominates. Flash keeps scores in VMEM. Attention FLOPs at this
+shape are tiny (~0.34 TFLOP), so even 50% MXU efficiency on the D=64
+contractions wins if the kernel is legal.
+
+Methodology (CLAUDE.md): loop-carried fori_loop so LICM can't hoist the body;
+timing via scalar fetch. Reports ms/iteration for each path plus numerics.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sam_audio_tpu.ops.attention import sdpa
+from sam_audio_tpu.ops.flash_attention import flash_attention
+
+args = sys.argv[1:]
+B, S, H, D = (int(x) for x in (args[:4] or [250, 577, 16, 64]))
+BLOCKS = [(int(a.split(",")[0]), int(a.split(",")[1])) for a in args[4:]] or [
+    (128, 128)]
+ITERS = 8
+
+key = jax.random.PRNGKey(0)
+kq, kk, kv = jax.random.split(key, 3)
+q = jax.random.normal(kq, (B, S, H, D), jnp.bfloat16)
+k = jax.random.normal(kk, (B, S, H, D), jnp.bfloat16)
+v = jax.random.normal(kv, (B, S, H, D), jnp.bfloat16)
+
+
+def timed(fn, name):
+    @jax.jit
+    def loop(q0):
+        def body(_, carry):
+            out = fn(carry, k, v)
+            return out  # loop-carried: q <- out
+        return jax.lax.fori_loop(0, ITERS, body, q0)
+
+    r = loop(q)
+    float(jnp.mean(r.astype(jnp.float32)))  # sync (compile + warm)
+    t0 = time.time()
+    r = loop(q)
+    float(jnp.mean(r.astype(jnp.float32)))
+    dt = (time.time() - t0) / ITERS * 1000
+    print(f"{name}: {dt:.2f} ms/iter")
+    return dt
+
+
+def run_sdpa(q_, k_, v_):
+    return sdpa(q_, k_, v_)
+
+
+# numerics first (single call)
+ref = np.asarray(sdpa(q, k, v), np.float32)
+out = np.asarray(flash_attention(q, k, v, interpret=False), np.float32)
+err = np.abs(ref - out).max()
+print(f"max |flash - sdpa| = {err:.5f} (bf16 inputs)")
+
+t_x = timed(run_sdpa, "xla_sdpa ")
+for bq, bk in BLOCKS:
+    def run_flash(q_, k_, v_, bq=bq, bk=bk):
+        return flash_attention(q_, k_, v_, block_q=bq, block_k=bk,
+                               interpret=False)
+
+    t_f = timed(run_flash, f"flash {bq:>3}x{bk:<3}")
+    print(f"  speedup vs xla: {t_x / t_f:.2f}x")

@@ -351,9 +351,18 @@ class SAMAudio:
         weight-bound k=1 latency case (the matmul itself stays bf16).
 
         See ops/quant.py. Returns self."""
-        from sam_audio_tpu.ops.quant import quantize_sam_audio_params
+        from sam_audio_tpu.ops.quant import (
+            quantize_pe_params,
+            quantize_sam_audio_params,
+        )
 
         self.params = quantize_sam_audio_params(self.params, bits)
+        if bits == 8 and getattr(self, "vision_encoder", None) is not None:
+            # the PE vision tower is the visual pipeline's dominant FLOP
+            # block; its ViT matmuls take the same W8A8 path
+            self.vision_encoder.params = quantize_pe_params(
+                self.vision_encoder.params
+            )
         return self
 
     def shard(self, mesh=None, tp: int = 1):

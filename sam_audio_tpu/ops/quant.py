@@ -236,6 +236,22 @@ def quantize_peav_params(peav_params):
     return out
 
 
+_PE_LAYER_LINEARS = (
+    ("attn", "wq"), ("attn", "wk"), ("attn", "wv"), ("attn", "wo"),
+    ("mlp", "fc1"), ("mlp", "fc2"),
+)
+
+
+def quantize_pe_params(pe_params):
+    """Int8 serving mode for the PE-Core CLIP vision tower
+    (models/pe_clip.py layout, scan-stacked layers): the ViT block matmuls
+    run W8A8 on the MXU; patch embed, cls/pos tables, norms, the attention
+    pool, and the output projection (all tiny) stay full precision."""
+    out = dict(pe_params)
+    out["layers"] = _quantize_groups(pe_params["layers"], _PE_LAYER_LINEARS)
+    return out
+
+
 def quantize_modernbert_params(mb_params):
     """Int8 for the ModernBERT text tower (models/modernbert.py layout,
     python-list layers)."""

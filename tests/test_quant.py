@@ -299,3 +299,38 @@ def test_matmul_int4_pallas_matches_xla_path():
         assert got.shape == (5, out)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_quantize_pe_vision_tower_close_and_wired():
+    """quantize_pe_params: int8 PE tower features stay close to exact, and
+    SAMAudio.quantize() reaches an attached vision encoder."""
+    from sam_audio_tpu.models.pe_clip import (
+        PerceptionEncoder,
+        encode_images,
+        pe_clip_init,
+    )
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+    from sam_audio_tpu.ops.quant import quantize_pe_params
+    from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+    cfg = tiny_test_config()
+    vcfg = cfg.vision_encoder
+    params = pe_clip_init(jax.random.PRNGKey(0), vcfg)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (2, 3, vcfg.image_size, vcfg.image_size),
+        jnp.float32) * 0.5
+    exact = np.asarray(encode_images(params, x, vcfg))
+    q = quantize_pe_params(params)
+    assert "w8" in q["layers"]["attn"]["wq"]
+    quant = np.asarray(encode_images(q, x, vcfg))
+    assert np.isfinite(quant).all()
+    corr = np.corrcoef(exact.ravel(), quant.ravel())[0, 1]
+    assert corr > 0.99, corr
+
+    model = SAMAudio.init_random(
+        jax.random.PRNGKey(0), cfg,
+        tokenizer=ByteFallbackTokenizer(cfg.text_encoder.vocab_size),
+    )
+    model.vision_encoder = PerceptionEncoder(vcfg, params)
+    model.quantize()
+    assert "w8" in model.vision_encoder.params["layers"]["attn"]["wq"]
