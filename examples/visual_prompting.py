@@ -122,6 +122,16 @@ def main():
                             rng=jax.random.PRNGKey(1))
     write_wav(f"{args.out}/target_reranked.wav", result.target[0], sr)
     print("visually reranked best-of-2:", result.target[0].shape)
+
+    # 3. fast serving modes (opt-in, non-parity; they stack):
+    #    visual_stride=8 encodes every 8th frame + lerps features
+    #    (4.7x -> 8.6x realtime at k=8 on a v5e chip); model.quantize()
+    #    adds W8A8 matmuls incl. the PE tower (10.1x stacked); preview_nfe
+    #    ranks on cheap solves (see PARITY.md mode table).
+    result = model.separate(batch, reranking_candidates=2,
+                            rng=jax.random.PRNGKey(1), visual_stride=8)
+    write_wav(f"{args.out}/target_strided.wav", result.target[0], sr)
+    print("visual_stride=8:", result.target[0].shape)
     print(f"outputs in {args.out}/")
 
 

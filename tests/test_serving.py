@@ -60,3 +60,34 @@ def test_pipeline_stage_timers_populated():
     pipe.run(reqs)
     summary = pipe.timer.summary()
     assert {"host_decode", "preprocess", "separate"} <= set(summary)
+
+
+def test_pipeline_visual_request_with_stride():
+    from sam_audio_tpu.models.pe_clip import PerceptionEncoder
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    cfg = tiny_test_config()
+    model = SAMAudio.init_random(
+        jax.random.PRNGKey(0), cfg,
+        tokenizer=ByteFallbackTokenizer(cfg.text_encoder.vocab_size),
+    )
+    model.vision_encoder = PerceptionEncoder.init_random(
+        jax.random.PRNGKey(1), cfg.vision_encoder
+    )
+    pipe = SeparationPipeline(model, bucket_seconds=0.01, visual_stride=2)
+    rng = np.random.RandomState(0)
+    p = SAMAudioProcessor(
+        audio_hop_length=cfg.audio_codec.hop_length,
+        audio_sampling_rate=cfg.audio_codec.sample_rate,
+    )
+    video = rng.randint(0, 255, (6, 3, 14, 14), np.uint8)
+    mask = np.zeros_like(video)
+    mask[:, :, :7] = 1
+    masked = p.mask_videos([video], [mask])[0]
+    out = pipe.run([SeparationRequest(
+        description="on-screen sound",
+        audio=rng.randn(1, 64).astype(np.float32) * 0.1,
+        masked_video=masked,
+    )])
+    assert out[0].target.shape == (64,)
+    assert np.isfinite(out[0].target).all()

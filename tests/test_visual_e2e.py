@@ -212,3 +212,31 @@ def test_visual_stride_moving_video_runs_and_conditions():
                 audios=[rng.randn(1, 64).astype(np.float32) * 0.1])
     res_t = model.separate(batch_t, noise=noise)
     assert np.abs(res.target[0] - res_t.target[0]).max() > 1e-6
+
+
+def test_visual_stride_smooth_video_feature_error_bounded():
+    """Mechanism gate for visual_stride: on a temporally smooth video,
+    interpolated strided features approximate the full per-frame encode.
+    Deterministic (fixed seeds); measured rel-L2 at stride 2 ~ a few
+    percent on the tiny random tower."""
+    from sam_audio_tpu.models.pe_clip import PerceptionEncoder
+
+    enc = PerceptionEncoder.init_random(jax.random.PRNGKey(1),
+                                        CFG.vision_encoder)
+    rng = np.random.RandomState(0)
+    s = CFG.vision_encoder.image_size
+    # smooth video: lerp between two keyframes over 12 frames
+    a = rng.rand(3, s, s).astype(np.float32)
+    b = rng.rand(3, s, s).astype(np.float32)
+    ts = np.linspace(0.0, 1.0, 12, dtype=np.float32)[:, None, None, None]
+    video = ((1 - ts) * a + ts * b) * 255.0
+
+    model = make_model()
+    model.vision_encoder = enc
+    full = np.asarray(model._encode_videos([video], 12))
+    s2 = np.asarray(model._encode_videos([video], 12, stride=2))
+    rel = np.linalg.norm(s2 - full) / (np.linalg.norm(full) + 1e-9)
+    assert rel < 0.25, rel
+    # stride 1 is the identity path
+    s1 = np.asarray(model._encode_videos([video], 12, stride=1))
+    np.testing.assert_allclose(s1, full)
