@@ -367,14 +367,18 @@ class SAMAudio:
 
     def shard(self, mesh=None, tp: int = 1):
         """Place params on a device mesh for multi-chip serving: tensor-
-        parallel rules for the DiT/T5 (see parallel/mesh.py), replication for
-        the rest; batches shard over `dp` at the jit boundary automatically
-        once params carry shardings. Returns self."""
+        parallel rules for the DiT/T5 — and the PE vision tower when one is
+        attached (see parallel/mesh.py), replication for the rest; batches
+        shard over `dp` at the jit boundary automatically once params carry
+        shardings. Returns self."""
         from sam_audio_tpu.parallel.mesh import make_mesh, shard_params
 
         if mesh is None:
             mesh = make_mesh(tp=tp)
         self.params = shard_params(self.params, mesh)
+        if getattr(self, "vision_encoder", None) is not None:
+            self.vision_encoder.params = shard_params(
+                self.vision_encoder.params, mesh)
         self.mesh = mesh
         return self
 

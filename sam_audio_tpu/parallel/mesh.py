@@ -48,17 +48,20 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
 _COLUMN_PARALLEL = re.compile(
     r"(attention|cross_attention|attn)/(wq|wk|wv|q|k|v)/(weight|w8)$"
     r"|feed_forward/(w1|w3)/(weight|w8)$"
+    r"|mlp/(fc1|w1|w3)/(weight|w8)$"  # PE-CLIP / PE-AV / ImageBind ViTs
     r"|ff/wi/weight$"
     r"|t_block/weight$"
 )
 _ROW_PARALLEL = re.compile(
     r"(attention|cross_attention|attn)/(wo|o)/(weight|w8)$"
     r"|feed_forward/w2/(weight|w8)$"
+    r"|mlp/(fc2|w2)/(weight|w8)$"
     r"|ff/wo/weight$"
 )
 _COLUMN_BIAS = re.compile(
-    r"(attention|cross_attention)/(wq|wk|wv)/(bias|w_scale)$"
+    r"(attention|cross_attention|attn)/(wq|wk|wv)/(bias|w_scale)$"
     r"|feed_forward/(w1|w3)/(bias|w_scale)$"
+    r"|mlp/(fc1|w1|w3)/(bias|w_scale)$"
     r"|t_block/bias$"
 )
 

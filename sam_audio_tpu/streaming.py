@@ -54,10 +54,20 @@ def separate_streaming(
     processor: Optional[SAMAudioProcessor] = None,
     batch_windows: int = 1,
     preview_nfe: Optional[int] = None,
+    masked_video: Optional[np.ndarray] = None,
+    visual_stride: int = 1,
 ) -> StreamingResult:
     """audio: (T,) or (channels, T) at model.sample_rate. Returns full-length
     target/residual. Anchors are in absolute seconds and are clipped per
     window.
+
+    `masked_video` (optional): already-masked frames (N, C, H, W) aligned
+    ~1 frame per latent frame over the FULL clip (the reference's frame
+    rate, model.py:186-191; produce them with `processor.mask_videos`).
+    Each window is conditioned on its own frame slice (clamped at the
+    edges), so visual prompting composes with streaming — the reference
+    caps visual runs at one whole-clip solve. `visual_stride` passes
+    through to `separate()` (opt-in strided PE encode).
 
     `batch_windows` > 1 solves that many windows per separate() call (the
     last group is padded to keep one compiled program). A lone 10 s window
@@ -83,10 +93,15 @@ def separate_streaming(
         rng = jax.random.PRNGKey(0)
 
     if total <= win:
-        batch = processor(descriptions=[description], audios=[wav[None]],
-                          anchors=[anchors] if anchors else None)
+        batch = processor(
+            descriptions=[description], audios=[wav[None]],
+            anchors=[anchors] if anchors else None,
+            masked_videos=[masked_video] if masked_video is not None
+            else None,
+        )
         res = model.separate(batch, reranking_candidates=reranking_candidates,
-                             rng=rng, preview_nfe=preview_nfe)
+                             rng=rng, preview_nfe=preview_nfe,
+                             visual_stride=visual_stride)
         return StreamingResult(res.target[0], res.residual[0], 1)
 
     n_windows = 1 + math.ceil((total - win) / stride)
@@ -121,8 +136,21 @@ def separate_streaming(
             per_win = [clip_anchors(s) for s in pad_starts]
             if any(per_win):
                 group_anchors = per_win
+        group_videos = None
+        if masked_video is not None:
+            mv = np.asarray(masked_video)
+            wf = win // hop  # latent frames (== video frames) per window
+            group_videos = []
+            for s in pad_starts:
+                f0 = min(s // hop, max(mv.shape[0] - wf, 0))
+                sl = mv[f0: f0 + wf]
+                if sl.shape[0] < wf:  # short video: repeat the last frame
+                    sl = np.concatenate(
+                        [sl, np.repeat(sl[-1:], wf - sl.shape[0], axis=0)])
+                group_videos.append(sl)
         batch = processor(descriptions=[description] * bw, audios=chunks,
-                          anchors=group_anchors)
+                          anchors=group_anchors,
+                          masked_videos=group_videos)
         # noise keyed by ABSOLUTE window index, matching what separate()
         # would draw per window at bw=1 — results are grouping-invariant;
         # frame count comes from the processed batch, the same source
@@ -134,7 +162,8 @@ def separate_streaming(
             for i in pad_idx
         ])
         res = model.separate(batch, reranking_candidates=k, noise=noise,
-                             preview_nfe=preview_nfe)
+                             preview_nfe=preview_nfe,
+                             visual_stride=visual_stride)
         return group, starts, res
 
     # Double-buffered pipeline (TODO item 6): one worker thread keeps the

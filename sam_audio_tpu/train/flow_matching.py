@@ -170,7 +170,7 @@ class Trainer:
                  grad_clip: float = 1.0, trainable_filter=None,
                  lr_schedule: str = "constant", warmup_steps: int = 0,
                  total_steps: int = 0, final_lr_ratio: float = 0.0,
-                 ema_decay: float = 0.0):
+                 ema_decay: float = 0.0, accum_steps: int = 1):
         self.cfg = cfg
         self.mesh = mesh
         self.ema_decay = ema_decay
@@ -195,6 +195,13 @@ class Trainer:
             optax.clip_by_global_norm(grad_clip),
             optax.adamw(lr, weight_decay=weight_decay, mask=decay_mask),
         )
+        if accum_steps > 1:
+            # gradient accumulation: micro-batch grads are averaged over k
+            # calls, the inner chain (clip + adamw) applies on the mean —
+            # exactly one full-batch step's semantics per k micro-steps.
+            # Note ema_decay stays per-MICRO-step (effective d^k per update).
+            self.optimizer = optax.MultiSteps(
+                self.optimizer, every_k_schedule=accum_steps)
         step_fn = make_train_step(cfg, self.optimizer, trainable_filter,
                                   ema_decay)
 

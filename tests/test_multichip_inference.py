@@ -92,3 +92,57 @@ def test_sharded_clap_scoring_matches_single_device():
     out = np.asarray(ranker.score_on_device(tgt_sharded, sizes,
                                             ["a", "b", "c", "d"]))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_pe_tower_matches_single_device():
+    """TP rules now cover the ViT mlp/fc1|fc2 (column/row) in addition to
+    attn/wq..wo: a dp x tp-sharded PE-Core encode must equal the
+    single-device one, for exact AND int8 params."""
+    from sam_audio_tpu.models.pe_clip import encode_images, pe_clip_init
+    from sam_audio_tpu.ops.quant import quantize_pe_params
+    from sam_audio_tpu.parallel.mesh import param_partition_spec
+
+    # rule sanity: fc1 column-parallel, fc2 row-parallel, fc1 bias sharded
+    assert param_partition_spec("layers/mlp/fc1/weight", 3) == \
+        jax.sharding.PartitionSpec(None, "tp", None)
+    assert param_partition_spec("layers/mlp/fc2/weight", 3) == \
+        jax.sharding.PartitionSpec(None, None, "tp")
+    assert param_partition_spec("layers/mlp/fc1/bias", 2) == \
+        jax.sharding.PartitionSpec(None, "tp")
+    assert param_partition_spec("layers/attn/wq/bias", 2) == \
+        jax.sharding.PartitionSpec(None, "tp")
+
+    vcfg = tiny_test_config().vision_encoder
+    params = pe_clip_init(jax.random.PRNGKey(0), vcfg)
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (4, 3, vcfg.image_size, vcfg.image_size),
+        jnp.float32) * 0.5
+
+    mesh = make_mesh(dp=2, tp=4)
+    for tree in (params, quantize_pe_params(params)):
+        ref = np.asarray(encode_images(tree, x, vcfg))
+        sp = shard_params(tree, mesh)
+        fc1 = sp["layers"]["mlp"]["fc1"]
+        w = fc1.get("weight", fc1.get("w8"))
+        assert len({s.device for s in w.addressable_shards}) >= 4
+        xs = shard_batch({"x": x}, mesh)["x"]
+        out = np.asarray(encode_images(sp, xs, vcfg))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_model_shard_covers_vision_encoder():
+    from sam_audio_tpu.models.pe_clip import PerceptionEncoder
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+    from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+    cfg = tiny_test_config()
+    model = SAMAudio.init_random(
+        jax.random.PRNGKey(0), cfg,
+        tokenizer=ByteFallbackTokenizer(cfg.text_encoder.vocab_size),
+    )
+    model.vision_encoder = PerceptionEncoder.init_random(
+        jax.random.PRNGKey(1), cfg.vision_encoder
+    )
+    model.shard(mesh=make_mesh(dp=2, tp=4))
+    w = model.vision_encoder.params["layers"]["attn"]["wq"]["weight"]
+    assert len({s.device for s in w.addressable_shards}) == 8

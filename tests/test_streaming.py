@@ -94,3 +94,43 @@ def test_batched_windows_with_anchors_and_k():
     seq = separate_streaming(model, "dog", wav, **kw)
     got = separate_streaming(model, "dog", wav, batch_windows=3, **kw)
     np.testing.assert_allclose(got.target, seq.target, atol=1e-6)
+
+
+def test_streaming_with_masked_video_windows():
+    """Visual prompting composes with streaming: each window is conditioned
+    on its own frame slice; strided PE encode passes through."""
+    from sam_audio_tpu.models.pe_clip import PerceptionEncoder
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    model = make_model()
+    model.vision_encoder = PerceptionEncoder.init_random(
+        jax.random.PRNGKey(1), CFG.vision_encoder
+    )
+    model.params["align_masked_video"]["gate"] = (
+        model.params["align_masked_video"]["gate"] + 1.0
+    )
+    sr = CFG.audio_codec.sample_rate
+    hop = CFG.audio_codec.hop_length
+    rng = np.random.RandomState(0)
+    wav = rng.randn(sr // 4).astype(np.float32) * 0.1  # 0.25 s, 2000 samples
+
+    n_frames = -(-wav.shape[-1] // hop)  # 1 frame per latent frame
+    video = rng.randint(0, 255, (n_frames, 3, 14, 14), np.uint8)
+    mask = np.zeros_like(video)
+    mask[:, :, :7] = 1
+    p = SAMAudioProcessor(audio_hop_length=hop, audio_sampling_rate=sr)
+    masked = p.mask_videos([video], [mask])[0]
+
+    res_v = separate_streaming(
+        model, "on-screen sound", wav, window_s=0.1, overlap_s=0.02,
+        rng=jax.random.PRNGKey(5), masked_video=masked, visual_stride=2,
+    )
+    assert res_v.num_windows > 1
+    assert res_v.target.shape == wav.shape
+    assert np.isfinite(res_v.target).all()
+
+    res_t = separate_streaming(
+        model, "on-screen sound", wav, window_s=0.1, overlap_s=0.02,
+        rng=jax.random.PRNGKey(5),
+    )
+    assert np.abs(res_v.target - res_t.target).max() > 1e-6

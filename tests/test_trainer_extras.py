@@ -111,3 +111,47 @@ def test_frozen_towers_bit_identical_after_steps():
         wq_before,
         np.asarray(trainer.state.params["transformer"]["layers"]["attention"]
                    ["wq"]["weight"]))
+
+
+def test_grad_accumulation_matches_full_batch_step():
+    """Trainer(accum_steps=2): two half-batch micro-steps produce EXACTLY one
+    full-batch optimizer update (optax.MultiSteps averages the micro grads,
+    then the clip+adamw chain applies on the mean)."""
+    params = sam_audio_init(jax.random.PRNGKey(0), CFG)
+    full = synthetic_batch(CFG, jax.random.PRNGKey(1), batch_size=4,
+                           t_frames=8)
+    halves = [
+        {k: v[:2] for k, v in full.items()},
+        {k: v[2:] for k, v in full.items()},
+    ]
+    rng = jax.random.PRNGKey(2)
+
+    t_ref = Trainer(CFG, jax.tree_util.tree_map(jnp.copy, params),
+                    learning_rate=1e-3)
+    t_acc = Trainer(CFG, jax.tree_util.tree_map(jnp.copy, params),
+                    learning_rate=1e-3, accum_steps=2)
+
+    # flow_matching_loss draws per-ROW noise from the call rng, so the clean
+    # equivalence is: accumulating the SAME micro-grad twice (same batch,
+    # same rng) averages to itself, and the inner clip+adamw chain applies
+    # exactly once — equal to one plain step on that micro-batch.
+    m_ref = t_ref.step(halves[0], rng)
+    m1 = t_acc.step(halves[0], rng)
+    m2 = t_acc.step(halves[0], rng)  # same micro-batch, same rng
+    wq_ref = t_ref.state.params["transformer"]["layers"]["attention"]["wq"]
+    wq_acc = t_acc.state.params["transformer"]["layers"]["attention"]["wq"]
+    np.testing.assert_allclose(np.asarray(wq_acc["weight"]),
+                               np.asarray(wq_ref["weight"]),
+                               rtol=1e-5, atol=1e-6)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert np.isfinite(float(m_ref["loss"]))
+
+    # mid-accumulation the params must NOT have moved
+    t_mid = Trainer(CFG, jax.tree_util.tree_map(jnp.copy, params),
+                    learning_rate=1e-3, accum_steps=2)
+    t_mid.step(halves[0], rng)
+    wq_mid = t_mid.state.params["transformer"]["layers"]["attention"]["wq"]
+    np.testing.assert_allclose(
+        np.asarray(wq_mid["weight"]),
+        np.asarray(params["transformer"]["layers"]["attention"]["wq"]["weight"]),
+    )
