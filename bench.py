@@ -308,11 +308,10 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             f"unknown --ranker {ranker!r} (clap|judge|imagebind|energy)")
     print(f"ranker: {ranker} (scorer compiled on device)", file=sys.stderr)
 
-    # ONE fused XLA program per request: encode -> ODE -> decode k targets ->
-    # on-device candidate scoring (real ranker tower) -> lazy residual decode
-    # of the winner. Nested jits inline, so this is a single dispatch — the
-    # relay-attached backend pays ~25 ms per dispatch, so collapsing the
-    # multi-program pipeline into one is a direct latency win.
+    # --fused-scorer A/B arm ONLY: everything in one XLA program. Measured
+    # ~56 ms SLOWER than the split default at k=8 CLAP — XLA's scheduler
+    # interleaves the scorer with the decoder and degrades both (see module
+    # docstring / PARITY.md "Split-dispatch study").
     @partial(jax.jit, static_argnames=())
     def step(params, aux, pe_aux, noise):
         video_features = encode_video_features(pe_aux) if visual else None
@@ -381,7 +380,7 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             params, audios, text_ids, text_mask, anchor_ids,
             anchor_alignment, audio_pad_mask, noise, video_features,
             cfg=cfg, candidates=candidates, use_video=visual,
-            ode_step_size=2.0 / preview_nfe if preview_nfe else 2.0 / 32,
+            ode_step_size=2.0 / preview_nfe,  # only called when preview_nfe
         )
         return decode_channel(params, preview, cfg=cfg, channel=0)
 
@@ -516,6 +515,12 @@ if __name__ == "__main__":
                     help="opt-in int4 weight-storage mode "
                          "(SAMAudio.quantize(bits=4); k=1 latency study)")
     args = ap.parse_args()
+    if args.split3 and (args.preview_nfe or args.fused_scorer):
+        ap.error("--split3 cannot combine with --preview-nfe/--fused-scorer "
+                 "(the preview split path is 3 programs already)")
+    if args.visual_stride != 1 and not args.visual:
+        ap.error("--visual-stride requires --visual (it strides the PE "
+                 "tower's frame encode)")
     main(args.candidates, args.seconds, args.batch, args.iters,
          args.preview_nfe, args.int8, args.ranker, args.int4,
          visual=args.visual,

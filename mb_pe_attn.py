@@ -22,7 +22,9 @@ from sam_audio_tpu.ops.attention import sdpa
 from sam_audio_tpu.ops.flash_attention import flash_attention
 
 args = sys.argv[1:]
-B, S, H, D = (int(x) for x in (args[:4] or [250, 577, 16, 64]))
+_defaults = [250, 577, 16, 64]
+_shape = [int(x) for x in args[:4]] + _defaults[len(args[:4]):]
+B, S, H, D = _shape
 BLOCKS = [(int(a.split(",")[0]), int(a.split(",")[1])) for a in args[4:]] or [
     (128, 128)]
 ITERS = 8

@@ -17,10 +17,16 @@ from jax.experimental.pallas.ops.tpu.splash_attention import (
 from sam_audio_tpu.ops.attention import sdpa
 
 args = sys.argv[1:]
-B, S, H, D = (int(x) for x in (args[:4] or [64, 577, 16, 64]))
+_defaults = [64, 577, 16, 64]
+B, S, H, D = [int(x) for x in args[:4]] + _defaults[len(args[:4]):]
 ITERS = 8
 PAD = 128
 S_P = (S + PAD - 1) // PAD * PAD
+
+
+def _block(cands, n):
+    """Largest candidate block size that divides n (splash requires it)."""
+    return next(c for c in cands if n % c == 0)
 
 key = jax.random.PRNGKey(0)
 kq, kk, kv = jax.random.split(key, 3)
@@ -31,9 +37,10 @@ v = jax.random.normal(kv, (B, S, H, D), jnp.bfloat16)
 valid = np.zeros((S_P, S_P), dtype=bool)
 valid[:, :S] = True  # padded KEYS masked out; padded q rows are sliced off
 mask = sm.MultiHeadMask([sm.NumpyMask(valid) for _ in range(H)])
+_bq = _block((512, 384, 320, 256, 128), S_P)
+_bkv = _block((640, 512, 384, 256, 128), S_P)
 block_sizes = sk.BlockSizes(
-    block_q=min(320, S_P), block_kv=min(640, S_P),
-    block_kv_compute=min(640, S_P),
+    block_q=_bq, block_kv=_bkv, block_kv_compute=_bkv,
 )
 splash = sk.make_splash_mha(
     mask, head_shards=1, q_seq_shards=1, block_sizes=block_sizes,

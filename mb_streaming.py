@@ -33,21 +33,40 @@ model = SAMAudio(cfg, params,
 import sys
 
 BW = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+# optional: "visual [stride]" after BW streams a masked-video prompt
+# (1 frame per latent frame @336^2) through the per-window PE encode
+VISUAL = len(sys.argv) > 2 and sys.argv[2] == "visual"
+VSTRIDE = int(sys.argv[3]) if len(sys.argv) > 3 else 1
 seconds = 120.0
 sr = cfg.audio_codec.sample_rate
 wav = (np.random.RandomState(0).randn(int(seconds * sr)) * 0.1).astype(
     np.float32)
 
+extra = {}
+if VISUAL:
+    from sam_audio_tpu.models.pe_clip import PerceptionEncoder
+
+    model.vision_encoder = PerceptionEncoder.init_random(
+        jax.random.PRNGKey(3), cfg.vision_encoder)
+    n_frames = int(seconds * sr) // cfg.audio_codec.hop_length
+    s = cfg.vision_encoder.image_size
+    extra = dict(
+        masked_video=np.random.RandomState(1).randint(
+            0, 255, (n_frames, 3, s, s)).astype(np.uint8),
+        visual_stride=VSTRIDE,
+    )
+    print(f"visual streaming: {n_frames} frames @{s}^2, stride {VSTRIDE}")
+
 t0 = time.time()
 res = separate_streaming(model, "a dog barking", wav, window_s=10.0,
                          overlap_s=1.0, rng=jax.random.PRNGKey(1),
-                         batch_windows=BW)
+                         batch_windows=BW, **extra)
 dt = time.time() - t0
 print(f"first pass (incl. compile): {res.num_windows} windows, {dt:.1f}s")
 t0 = time.time()
 res = separate_streaming(model, "a dog barking", wav, window_s=10.0,
                          overlap_s=1.0, rng=jax.random.PRNGKey(2),
-                         batch_windows=BW)
+                         batch_windows=BW, **extra)
 dt = time.time() - t0
 assert res.target.shape[-1] == wav.shape[-1]
 assert np.isfinite(res.target).all()

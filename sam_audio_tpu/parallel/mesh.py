@@ -48,7 +48,11 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
 _COLUMN_PARALLEL = re.compile(
     r"(attention|cross_attention|attn)/(wq|wk|wv|q|k|v)/(weight|w8)$"
     r"|feed_forward/(w1|w3)/(weight|w8)$"
-    r"|mlp/(fc1|w1|w3)/(weight|w8)$"  # PE-CLIP / PE-AV / ImageBind ViTs
+    # "mlp/..." covers every ViT-family tower that uses an mlp group:
+    # PE-CLIP, PE-AV, ImageBind trunks, and the span predictor's swiglu FFN.
+    # shard_params falls back to replication per-leaf when a matched dim is
+    # not divisible by the tp axis, so towers with odd widths stay safe.
+    r"|mlp/(fc1|w1|w3)/(weight|w8)$"
     r"|ff/wi/weight$"
     r"|t_block/weight$"
 )
@@ -100,9 +104,19 @@ def params_pspec_tree(params):
 
 
 def shard_params(params, mesh: Mesh):
-    """Place params on the mesh per the TP rules (replicated when tp=1)."""
+    """Place params on the mesh per the TP rules (replicated when tp=1).
+
+    A leaf whose matched dimension is not divisible by the tp axis size is
+    replicated instead of erroring — correctness never depends on placement,
+    and odd-width towers (e.g. a custom span predictor) must not break
+    `model.shard()`."""
     def place(path, x):
         spec = param_partition_spec(_path_str(path), np.ndim(x))
+        axes = dict(zip(spec, np.shape(x)))
+        for name, dim in axes.items():
+            if name is not None and dim % mesh.shape[name] != 0:
+                spec = P(*([None] * np.ndim(x)))
+                break
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, params)

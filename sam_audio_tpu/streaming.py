@@ -61,13 +61,15 @@ def separate_streaming(
     target/residual. Anchors are in absolute seconds and are clipped per
     window.
 
-    `masked_video` (optional): already-masked frames (N, C, H, W) aligned
-    ~1 frame per latent frame over the FULL clip (the reference's frame
-    rate, model.py:186-191; produce them with `processor.mask_videos`).
-    Each window is conditioned on its own frame slice (clamped at the
-    edges), so visual prompting composes with streaming — the reference
-    caps visual runs at one whole-clip solve. `visual_stride` passes
-    through to `separate()` (opt-in strided PE encode).
+    `masked_video` (optional): already-masked frames (N, C, H, W) spanning
+    the FULL clip at any frame rate (produce them with
+    `processor.mask_videos`). Frames are nearest-mapped onto the clip's
+    latent frames (the linspace policy `processor.load_video` uses for
+    files; identity when N == total latent frames, the reference's rate,
+    model.py:186-191) and each window is conditioned on its own slice —
+    visual prompting composes with streaming, where the reference solves
+    visual runs whole-clip only. `visual_stride` passes through to
+    `separate()` (opt-in strided PE encode).
 
     `batch_windows` > 1 solves that many windows per separate() call (the
     last group is padded to keep one compiled program). A lone 10 s window
@@ -139,15 +141,23 @@ def separate_streaming(
         group_videos = None
         if masked_video is not None:
             mv = np.asarray(masked_video)
-            wf = win // hop  # latent frames (== video frames) per window
+            wf = win // hop  # latent frames per window
+            total_f = -(-total // hop)  # latent frames over the full clip
+            # nearest-frame map from GLOBAL latent frame -> video frame, so
+            # any native frame rate conditions correctly (the same linspace
+            # policy processor.load_video applies to files; with N == total
+            # latent frames this is the identity)
+            if mv.shape[0] == total_f:
+                fmap = np.arange(total_f)
+            else:
+                fmap = np.round(
+                    np.linspace(0, mv.shape[0] - 1, total_f)).astype(int)
             group_videos = []
             for s in pad_starts:
-                f0 = min(s // hop, max(mv.shape[0] - wf, 0))
-                sl = mv[f0: f0 + wf]
-                if sl.shape[0] < wf:  # short video: repeat the last frame
-                    sl = np.concatenate(
-                        [sl, np.repeat(sl[-1:], wf - sl.shape[0], axis=0)])
-                group_videos.append(sl)
+                g0f = s // hop
+                idx = fmap[np.minimum(np.arange(g0f, g0f + wf),
+                                      total_f - 1)]
+                group_videos.append(mv[idx])
         batch = processor(descriptions=[description] * bw, audios=chunks,
                           anchors=group_anchors,
                           masked_videos=group_videos)

@@ -134,3 +134,44 @@ def test_streaming_with_masked_video_windows():
         rng=jax.random.PRNGKey(5),
     )
     assert np.abs(res_v.target - res_t.target).max() > 1e-6
+
+
+def test_streaming_masked_video_native_fps_mapping():
+    """A video at a DIFFERENT frame rate than 1/latent-frame is nearest-
+    mapped over the whole clip: with identical frames the output must equal
+    the full-rate identical-frame run (mapping of a constant is constant),
+    and low-fps input must not silently clamp to the final frames."""
+    from sam_audio_tpu.models.pe_clip import PerceptionEncoder
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    model = make_model()
+    model.vision_encoder = PerceptionEncoder.init_random(
+        jax.random.PRNGKey(1), CFG.vision_encoder
+    )
+    model.params["align_masked_video"]["gate"] = (
+        model.params["align_masked_video"]["gate"] + 1.0
+    )
+    sr = CFG.audio_codec.sample_rate
+    hop = CFG.audio_codec.hop_length
+    rng = np.random.RandomState(0)
+    wav = rng.randn(sr // 4).astype(np.float32) * 0.1
+    total_f = -(-wav.shape[-1] // hop)
+
+    frame = rng.randint(0, 255, (1, 3, 14, 14), np.uint8)
+    p = SAMAudioProcessor(audio_hop_length=hop, audio_sampling_rate=sr)
+
+    def run(n_frames):
+        video = np.repeat(frame, n_frames, axis=0)
+        mask = np.zeros_like(video)
+        mask[:, :, :7] = 1
+        masked = p.mask_videos([video], [mask])[0]
+        return separate_streaming(
+            model, "on-screen sound", wav, window_s=0.1, overlap_s=0.02,
+            rng=jax.random.PRNGKey(5), masked_video=masked,
+        )
+
+    res_full = run(total_f)   # 1 frame per latent frame (reference rate)
+    res_low = run(5)          # low-fps video spanning the same clip
+    assert res_low.num_windows > 1
+    np.testing.assert_allclose(res_low.target, res_full.target,
+                               rtol=1e-5, atol=1e-6)
