@@ -51,7 +51,7 @@ def attention_init(key, dim, head_dim, n_heads, n_kv_heads, use_qk_norm=False,
 
 def attention_apply(params, x, *, n_heads, n_kv_heads, head_dim, cross_x=None,
                     key_padding_mask=None, rope_tables=None, norm_eps=1e-5,
-                    compute_dtype=None):
+                    compute_dtype=None, attend_fn=None):
     """x: (B, Tq, dim); cross_x: (B, Tk, dim) or None for self-attention.
 
     NOTE (parity): the reference splits heads as reshape(B,T,C//H,H).permute,
@@ -67,6 +67,7 @@ def attention_apply(params, x, *, n_heads, n_kv_heads, head_dim, cross_x=None,
     v = N.linear(params["wv"], src, compute_dtype).reshape(b, tk, n_kv_heads, head_dim)
     if (
         cross_x is None
+        and attend_fn is None
         and rope_tables is not None
         and "q_norm" in params
         and n_kv_heads == n_heads
@@ -102,7 +103,7 @@ def attention_apply(params, x, *, n_heads, n_kv_heads, head_dim, cross_x=None,
         rep = n_heads // n_kv_heads
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-    out = attend(q, k, v, key_padding_mask=key_padding_mask)
+    out = (attend_fn or attend)(q, k, v, key_padding_mask=key_padding_mask)
     out = out.reshape(b, tq, n_heads * head_dim)
     return N.linear(params["wo"], out, compute_dtype)
 
@@ -137,8 +138,12 @@ def dit_block_init(key, cfg: TransformerConfig, dtype=jnp.float32):
 
 def dit_block_apply(params, h, *, cfg: TransformerConfig, cross_x, t0,
                     padding_mask, memory_padding_mask, rope_tables,
-                    compute_dtype=None, dropout_rng=None):
-    """h: (B, T, dim); t0: (B, 6*dim) shared timestep projection."""
+                    compute_dtype=None, dropout_rng=None, attend_fn=None):
+    """h: (B, T, dim); t0: (B, 6*dim) shared timestep projection.
+
+    `attend_fn` overrides SELF-attention only (e.g. the ring
+    context-parallel kernel, parallel/sp.py); cross-attention keys are the
+    replicated text memory, so it always uses the local path."""
     b = h.shape[0]
     biases = params["scale_shift_table"][None].astype(jnp.float32) + t0.reshape(
         b, 6, -1
@@ -155,6 +160,7 @@ def dit_block_apply(params, h, *, cfg: TransformerConfig, cross_x, t0,
         n_heads=cfg.n_heads, n_kv_heads=cfg.n_heads, head_dim=cfg.head_dim,
         key_padding_mask=padding_mask, rope_tables=rope_tables,
         norm_eps=cfg.norm_eps, compute_dtype=compute_dtype,
+        attend_fn=attend_fn,
     )
     h = h + N.gate(h_attn, gate_msa)
 
@@ -255,17 +261,11 @@ def dit_init(key, cfg: TransformerConfig, dtype=jnp.float32):
     return p
 
 
-def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
-              memory=None, memory_padding_mask=None, compute_dtype=None,
-              remat: bool = False, dropout_rng=None):
-    """x: (B, T, in_channels or dim); time: (B,); memory: (B, L, context_dim).
-
-    Returns (B, T, out_channels). Reference: sam_audio/model/transformer.py:473-524.
-    `remat=True` rematerializes each layer in the backward pass (training
-    memory ~ one layer's activations instead of n_layers). `dropout_rng`
-    enables training dropout at the reference's sites (post-stem, FFN
-    hidden, pre-output; rate cfg.dropout).
-    """
+def dit_prepare(params, x, time, *, cfg: TransformerConfig, memory=None,
+                compute_dtype=None, dropout_rng=None):
+    """Stem + embedders (everything before the layer scan). Returns
+    (h, t, t0, y, rope_tables, layer_rngs, out_rng). Split out so the
+    sequence-parallel path (parallel/sp.py) shares it bit-exactly."""
     if "data_proj" in params:
         x = N.linear(params["data_proj"], x, compute_dtype)
 
@@ -308,7 +308,41 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
     if cfg.use_rope:
         theta = max(10000, 2 * cfg.max_positions)
         rope_tables = precompute_rope(cfg.head_dim, h.shape[1], theta)
+    return h, t, t0, y, rope_tables, layer_rngs, out_rng
 
+
+def dit_finalize(params, h, t, *, cfg: TransformerConfig, compute_dtype=None,
+                 out_rng=None):
+    """Final adaLN modulate + output head (per-token; shared with sp.py)."""
+    shift, scale = (
+        params["final_layer_scale_shift_table"][None].astype(jnp.float32)
+        + t[:, None].astype(jnp.float32)
+    ).astype(h.dtype).swapaxes(0, 1)
+    shift = shift[:, None, :]
+    scale = scale[:, None, :]
+
+    h = N.rmsnorm(params["norm"], h, cfg.norm_eps)
+    h = N.modulate(h, shift, scale)
+    if out_rng is not None:
+        h = N.dropout(h, cfg.dropout, out_rng)  # reference transformer.py:517
+    return N.linear(params["output"], h, compute_dtype)
+
+
+def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
+              memory=None, memory_padding_mask=None, compute_dtype=None,
+              remat: bool = False, dropout_rng=None):
+    """x: (B, T, in_channels or dim); time: (B,); memory: (B, L, context_dim).
+
+    Returns (B, T, out_channels). Reference: sam_audio/model/transformer.py:473-524.
+    `remat=True` rematerializes each layer in the backward pass (training
+    memory ~ one layer's activations instead of n_layers). `dropout_rng`
+    enables training dropout at the reference's sites (post-stem, FFN
+    hidden, pre-output; rate cfg.dropout).
+    """
+    h, t, t0, y, rope_tables, layer_rngs, out_rng = dit_prepare(
+        params, x, time, cfg=cfg, memory=memory, compute_dtype=compute_dtype,
+        dropout_rng=dropout_rng,
+    )
     with_dropout = layer_rngs is not None
 
     def scan_body(carry, xs):
@@ -326,15 +360,5 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
     xs = (params["layers"], layer_rngs) if with_dropout else params["layers"]
     h, _ = jax.lax.scan(scan_body, h, xs)
 
-    shift, scale = (
-        params["final_layer_scale_shift_table"][None].astype(jnp.float32)
-        + t[:, None].astype(jnp.float32)
-    ).astype(h.dtype).swapaxes(0, 1)
-    shift = shift[:, None, :]
-    scale = scale[:, None, :]
-
-    h = N.rmsnorm(params["norm"], h, cfg.norm_eps)
-    h = N.modulate(h, shift, scale)
-    if out_rng is not None:
-        h = N.dropout(h, cfg.dropout, out_rng)  # reference transformer.py:517
-    return N.linear(params["output"], h, compute_dtype)
+    return dit_finalize(params, h, t, cfg=cfg, compute_dtype=compute_dtype,
+                        out_rng=out_rng)

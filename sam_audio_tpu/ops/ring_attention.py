@@ -39,12 +39,14 @@ def _ring_attend_local(q, k, v, mask, *, scale: float, axis_name: str):
     b, sq, h, d = q.shape
 
     qf = q.astype(jnp.float32) * scale
-    # pvary: the zero-init carries must be marked device-varying so the
+    # pcast-to-varying: the zero-init carries must be marked device-varying so the
     # fori_loop carry type matches after the first ppermute round
-    m0 = jax.lax.pvary(jnp.full((b, h, sq), _MASK_VALUE, jnp.float32),
-                       axis_name)
-    l0 = jax.lax.pvary(jnp.zeros((b, h, sq), jnp.float32), axis_name)
-    acc0 = jax.lax.pvary(jnp.zeros((b, sq, h, d), jnp.float32), axis_name)
+    m0 = jax.lax.pcast(jnp.full((b, h, sq), _MASK_VALUE, jnp.float32),
+                       axis_name, to='varying')
+    l0 = jax.lax.pcast(jnp.zeros((b, h, sq), jnp.float32), axis_name,
+                      to='varying')
+    acc0 = jax.lax.pcast(jnp.zeros((b, sq, h, d), jnp.float32), axis_name,
+                        to='varying')
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     def body(_, carry):

@@ -1,0 +1,74 @@
+"""Sequence-parallel DiT (parallel/sp.py): exact parity with dit_apply on
+the 8-virtual-CPU mesh — ring self-attention, replicated cross-attention,
+sharded RoPE tables and padding masks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from sam_audio_tpu.config import TransformerConfig
+from sam_audio_tpu.models.dit import dit_apply, dit_init
+from sam_audio_tpu.parallel.sp import dit_apply_sp
+
+CFG = TransformerConfig(
+    dim=32, n_heads=4, n_layers=3, dropout=0.0, context_dim=16,
+    max_positions=64, frequency_embedding_dim=8, out_channels=6,
+    in_channels=None,
+)
+
+
+def _mesh(n=8):
+    return Mesh(np.asarray(jax.devices("cpu")[:n]), axis_names=("sp",))
+
+
+def _inputs(b=2, t=16, l=5, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, t, CFG.dim).astype(np.float32))
+    time = jnp.asarray(rng.rand(b).astype(np.float32))
+    memory = jnp.asarray(rng.randn(b, l, CFG.context_dim).astype(np.float32))
+    pad = np.ones((b, t), bool)
+    pad[1, 13:] = False  # ragged tail inside the last shard
+    mem_mask = np.ones((b, l), bool)
+    mem_mask[0, 3:] = False
+    return x, time, memory, jnp.asarray(pad), jnp.asarray(mem_mask)
+
+
+def test_sp_dit_matches_single_device():
+    params = dit_init(jax.random.PRNGKey(0), CFG)
+    x, time, memory, pad, mem_mask = _inputs()
+    ref = np.asarray(dit_apply(params, x, time, cfg=CFG, padding_mask=pad,
+                               memory=memory, memory_padding_mask=mem_mask))
+    out = np.asarray(dit_apply_sp(params, x, time, cfg=CFG, mesh=_mesh(),
+                                  padding_mask=pad, memory=memory,
+                                  memory_padding_mask=mem_mask))
+    p = np.asarray(pad)
+    np.testing.assert_allclose(out[p], ref[p], rtol=1e-5, atol=1e-5)
+
+
+def test_sp_dit_no_padding_mask_and_sharded_output():
+    params = dit_init(jax.random.PRNGKey(1), CFG)
+    x, time, memory, _, _ = _inputs(seed=2)
+    mesh = _mesh()
+    ref = np.asarray(dit_apply(params, x, time, cfg=CFG, memory=memory))
+    out = dit_apply_sp(params, x, time, cfg=CFG, mesh=mesh, memory=memory)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+    assert len({s.device for s in out.addressable_shards}) == 8
+
+
+def test_sp_dit_guards():
+    params = dit_init(jax.random.PRNGKey(0), CFG)
+    x, time, memory, _, _ = _inputs(t=12)  # 12 % 8 != 0
+    try:
+        dit_apply_sp(params, x, time, cfg=CFG, mesh=_mesh(), memory=memory)
+    except ValueError as e:
+        assert "divide" in str(e)
+    else:
+        raise AssertionError("expected divisibility error")
+    x2, time2, _, _, _ = _inputs()
+    try:
+        dit_apply_sp(params, x2, time2, cfg=CFG, mesh=_mesh(), memory=None)
+    except ValueError as e:
+        assert "memory" in str(e)
+    else:
+        raise AssertionError("expected memory-required error")
