@@ -99,10 +99,15 @@ def align_inputs(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
 def forward(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
             text_features, time, masked_video_features=None, text_mask=None,
             anchor_ids=None, anchor_alignment=None, audio_pad_mask=None,
-            compute_dtype=None, remat: bool = False, dropout_rng=None):
+            compute_dtype=None, remat: bool = False, dropout_rng=None,
+            dit_fn=None):
     """One ODE function evaluation. Shapes:
     noisy_audio/audio_features: (B, T, 2*latent); text_features: (B, L, text_dim);
-    time: (B,). Returns velocity (B, T, out_channels)."""
+    time: (B,). Returns velocity (B, T, out_channels).
+
+    `dit_fn` overrides the DiT trunk (e.g. the sequence-parallel
+    parallel/sp.dit_apply_sp); it must accept the dit_apply signature minus
+    remat/dropout_rng (inference only)."""
     aligned = align_inputs(params, cfg, noisy_audio, audio_features,
                            masked_video_features, anchor_ids, anchor_alignment,
                            compute_dtype)
@@ -113,6 +118,13 @@ def forward(params, cfg: SAMAudioConfig, noisy_audio, audio_features,
         memory = memory + t_emb.astype(memory.dtype)
     else:
         memory = t_emb if compute_dtype is None else t_emb.astype(compute_dtype)
+    if dit_fn is not None:
+        assert not remat and dropout_rng is None, "dit_fn is inference-only"
+        return dit_fn(
+            params["transformer"], aligned, time, cfg=cfg.transformer,
+            padding_mask=audio_pad_mask, memory=memory,
+            memory_padding_mask=text_mask, compute_dtype=compute_dtype,
+        )
     return dit_apply(
         params["transformer"], aligned, time, cfg=cfg.transformer,
         padding_mask=audio_pad_mask, memory=memory,
@@ -136,7 +148,7 @@ def _repeat_for_reranking(x, candidates: int):
 @partial(
     jax.jit,
     static_argnames=("cfg", "candidates", "ode_method", "ode_step_size",
-                     "use_video"),
+                     "use_video", "sp_mesh", "sp_axis"),
 )
 def separate_latents(
     params,
@@ -154,9 +166,16 @@ def separate_latents(
     ode_method: str = "midpoint",
     ode_step_size: float = 2 / 32,
     use_video: bool = False,
+    sp_mesh=None,
+    sp_axis: str = "sp",
 ):
     """Encode -> condition -> ODE: one fused XLA program producing generated
-    latents (B*k, T, 2C) = [target || residual] per candidate."""
+    latents (B*k, T, 2C) = [target || residual] per candidate.
+
+    `sp_mesh` (optional jax.sharding.Mesh with an `sp_axis` axis) runs the
+    DiT trunk sequence-parallel (parallel/sp.dit_apply_sp: ring
+    self-attention over ICI) — ONE attention over a sequence too long for a
+    single chip; codec/T5/conditioning stay replicated (cheap)."""
     compute_dtype = jnp.dtype(cfg.compute_dtype)
     acfg = cfg.audio_codec
 
@@ -187,6 +206,12 @@ def separate_latents(
 
     bk = audio_features_r.shape[0]
 
+    dit_fn = None
+    if sp_mesh is not None:
+        from sam_audio_tpu.parallel.sp import dit_apply_sp
+
+        dit_fn = partial(dit_apply_sp, mesh=sp_mesh, axis_name=sp_axis)
+
     def vector_field(t, y):
         v = forward(
             params, cfg,
@@ -200,6 +225,7 @@ def separate_latents(
             anchor_alignment=anchor_alignment_r,
             audio_pad_mask=audio_pad_mask_r,
             compute_dtype=compute_dtype,
+            dit_fn=dit_fn,
         )
         return v.astype(y.dtype)
 

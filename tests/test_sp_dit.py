@@ -72,3 +72,34 @@ def test_sp_dit_guards():
         assert "memory" in str(e)
     else:
         raise AssertionError("expected memory-required error")
+
+
+def test_separate_latents_sp_matches_single_device():
+    """Full inference program with the DiT trunk sequence-parallel: codec
+    encode + T5 + conditioning replicated, ODE over the SP DiT — equal to
+    the plain separate_latents."""
+    from sam_audio_tpu.config import tiny_test_config
+    from sam_audio_tpu.models.sam_audio import sam_audio_init, separate_latents
+
+    cfg = tiny_test_config()
+    params = sam_audio_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    b, l = 1, 5
+    t = 16  # divisible over sp=8
+    t_wav = t * cfg.audio_codec.hop_length
+    args = dict(
+        audios=jnp.asarray(rng.randn(b, 1, t_wav).astype(np.float32) * 0.1),
+        text_ids=jnp.asarray(rng.randint(3, 200, (b, l)).astype(np.int32)),
+        text_mask=jnp.ones((b, l), bool),
+        anchor_ids=jnp.zeros((b, 4), jnp.int32).at[:, 1:].set(3),
+        anchor_alignment=jnp.zeros((b, t), jnp.int32),
+        audio_pad_mask=jnp.ones((b, t), bool),
+        noise=jnp.asarray(
+            rng.randn(b * 2, t, 2 * cfg.audio_codec.codebook_dim)
+            .astype(np.float32)),
+        video_features=None,
+    )
+    ref = np.asarray(separate_latents(params, **args, cfg=cfg, candidates=2))
+    out = np.asarray(separate_latents(params, **args, cfg=cfg, candidates=2,
+                                      sp_mesh=_mesh()))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
