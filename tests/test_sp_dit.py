@@ -103,3 +103,19 @@ def test_separate_latents_sp_matches_single_device():
     out = np.asarray(separate_latents(params, **args, cfg=cfg, candidates=2,
                                       sp_mesh=_mesh()))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sp_dit_with_int8_params():
+    """Sequence parallelism composes with the int8 serving mode: the W8A8
+    linears dispatch identically inside the shard_map trunk."""
+    from sam_audio_tpu.ops.quant import quantize_dit_params
+
+    params = quantize_dit_params(dit_init(jax.random.PRNGKey(0), CFG))
+    x, time, memory, pad, mem_mask = _inputs(seed=4)
+    ref = np.asarray(dit_apply(params, x, time, cfg=CFG, padding_mask=pad,
+                               memory=memory, memory_padding_mask=mem_mask))
+    out = np.asarray(dit_apply_sp(params, x, time, cfg=CFG, mesh=_mesh(),
+                                  padding_mask=pad, memory=memory,
+                                  memory_padding_mask=mem_mask))
+    p = np.asarray(pad)
+    np.testing.assert_allclose(out[p], ref[p], rtol=1e-5, atol=1e-5)
