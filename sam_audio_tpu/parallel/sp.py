@@ -39,7 +39,10 @@ from sam_audio_tpu.ops.ring_attention import _ring_attend_local
 def dit_apply_sp(params, x, time, *, cfg, mesh: Mesh, axis_name: str = "sp",
                  padding_mask=None, memory=None, memory_padding_mask=None,
                  compute_dtype=None):
-    """Sequence-parallel `dit_apply` (inference; no dropout/remat).
+    """Sequence-parallel `dit_apply` (no dropout/remat). Differentiable:
+    ppermute transposes to the reverse ring, so param grads through the SP
+    trunk equal the single-device grads exactly (test_sp_dit.py) — the
+    trunk is trainable under sequence parallelism.
 
     x: (B, T, in_channels or dim) with the POST-STEM sequence length
     divisible by mesh.shape[axis_name]. Returns (B, T, out_channels),
