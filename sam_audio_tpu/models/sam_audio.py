@@ -323,6 +323,10 @@ class SAMAudio:
         # since a fully random model has no real weights to protect.
         self.vision_encoder = vision_encoder
         self.allow_random_towers = allow_random_towers
+        # optional Mesh with an "sp" axis: separate() runs the DiT trunk
+        # sequence-parallel (parallel/sp.py) — one attention over a clip too
+        # long for a single chip. Set via `model.sp_mesh = make_mesh(...)`.
+        self.sp_mesh = None
 
     # -- constructors -------------------------------------------------------
 
@@ -505,12 +509,14 @@ class SAMAudio:
             jnp.asarray(batch.audio_pad_mask),
         )
 
+        sp_mesh = getattr(self, "sp_mesh", None)
         if preview_nfe is not None and k > 1 and has_ranker:
             # rank on cheap previews, full solve only for the winners
             preview = separate_latents(
                 self.params, *core_args, noise, video_features,
                 cfg=cfg, candidates=k, ode_method=method,
                 ode_step_size=2.0 / preview_nfe, use_video=use_video,
+                sp_mesh=sp_mesh,
             )
             tgt_prev_dev = decode_channel_chunked(
                 self.params, preview, cfg=cfg, channel=0)
@@ -527,6 +533,7 @@ class SAMAudio:
                 self.params, *core_args, chosen_noise, video_features,
                 cfg=cfg, candidates=1, ode_method=method,
                 ode_step_size=float(step), use_video=use_video,
+                sp_mesh=sp_mesh,
             )
             tgt_sel = np.asarray(decode_channel(self.params, chosen, cfg=cfg,
                                                 channel=0))
@@ -545,6 +552,7 @@ class SAMAudio:
             ode_method=method,
             ode_step_size=float(step),
             use_video=use_video,
+            sp_mesh=sp_mesh,
         )  # (B*k, T, 2C)
 
         if k > 1 and has_ranker:

@@ -139,3 +139,37 @@ def test_sp_dit_gradients_match_single_device():
                     jax.tree_util.tree_leaves(g_sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_model_separate_with_sp_mesh():
+    """model.sp_mesh routes separate() through the sequence-parallel trunk;
+    outputs equal the single-device separate() with the same noise."""
+    from sam_audio_tpu.config import tiny_test_config
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+    from sam_audio_tpu.processor import SAMAudioProcessor
+    from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
+
+    cfg = tiny_test_config()
+    model = SAMAudio.init_random(
+        jax.random.PRNGKey(0), cfg,
+        tokenizer=ByteFallbackTokenizer(cfg.text_encoder.vocab_size),
+    )
+    p = SAMAudioProcessor(
+        audio_hop_length=cfg.audio_codec.hop_length,
+        audio_sampling_rate=cfg.audio_codec.sample_rate,
+    )
+    rng = np.random.RandomState(0)
+    wav = rng.randn(1, 16 * cfg.audio_codec.hop_length).astype(
+        np.float32) * 0.1  # 16 latent frames: divisible over sp=8
+    batch = p(descriptions=["a tone"], audios=[wav])
+    t = batch.anchor_alignment.shape[-1]
+    noise = rng.randn(1, t, 2 * cfg.audio_codec.codebook_dim).astype(
+        np.float32)
+
+    ref = model.separate(batch, noise=noise)
+    model.sp_mesh = _mesh()
+    batch2 = p(descriptions=["a tone"], audios=[wav])
+    out = model.separate(batch2, noise=noise)
+    np.testing.assert_allclose(np.asarray(out.target[0]),
+                               np.asarray(ref.target[0]),
+                               rtol=1e-4, atol=1e-5)
