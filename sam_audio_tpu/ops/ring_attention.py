@@ -34,7 +34,13 @@ _MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _ring_attend_local(q, k, v, mask, *, scale: float, axis_name: str):
     """Runs INSIDE shard_map. q, k, v: (B, S_local, H, D) local blocks;
-    mask: (B, S_local) int8, 1 = attend. Returns (B, S_local, H, D)."""
+    mask: (B, S_local) int8, 1 = attend. Returns (B, S_local, H, D).
+
+    Each ring step materializes an (S_local, S_local) score block per
+    (batch, head) — fine up to ~4k frames/device in fp32. For longer local
+    blocks the step itself should tile (a stats-returning flash kernel);
+    at the DiT's 25 frames/s that bound is ~160 s of audio PER DEVICE
+    before it matters, so the einsum step is kept."""
     n = jax.lax.psum(1, axis_name)
     b, sq, h, d = q.shape
 
