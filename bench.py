@@ -33,6 +33,7 @@ no throughput numbers, BASELINE.md.)
 from __future__ import annotations
 
 import json
+import os
 from functools import partial
 import sys
 import time
@@ -40,6 +41,12 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# The axon sitecustomize force-registers the TPU backend and overrides
+# JAX_PLATFORMS; honor an explicit platform request (debug/CI) the way that
+# actually works here — jax.config AFTER import (see CLAUDE.md).
+if os.environ.get("SAM_AUDIO_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SAM_AUDIO_BENCH_PLATFORM"])
 
 # Persist compiled executables across runs (first compile of the 1B pipeline
 # is minutes; subsequent bench invocations reuse the cache).
@@ -67,6 +74,38 @@ def _gen_random_like(init_fn, key, scale: float = 0.02):
     return jax.tree_util.tree_unflatten(treedef, _gen(key))
 
 
+def _preflight_probe(
+    deadline_s: float = float(os.environ.get("SAM_AUDIO_PREFLIGHT_S", 300.0)),
+):
+    """Fail fast (instead of hanging forever) when the TPU relay is down.
+
+    Backend init and every dispatch go through the axon relay; when it is
+    unreachable they block indefinitely with no timeout, which would hang the
+    driver's bench run. Run one tiny jitted matmul under a watchdog: a healthy
+    chip completes it in well under a minute (compile included), so if the
+    deadline passes we hard-exit(2) with a diagnostic on stderr. stdout stays
+    clean — no JSON line is emitted on failure.
+    """
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        if not done.wait(deadline_s):
+            print(
+                f"bench preflight: no device response within {deadline_s:.0f}s"
+                " — TPU relay unreachable; aborting (no metric emitted)",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    x = jnp.ones((128, 128), jnp.bfloat16)
+    _ = float(jnp.sum(jax.jit(lambda a: a @ a)(x)))  # scalar fetch = real sync
+    done.set()
+
+
 def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
          iters: int = 3, preview_nfe: int = 0, int8: bool = False,
          ranker: str = "clap", int4: bool = False, visual: bool = False,
@@ -83,6 +122,7 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
 
     cfg = SAMAudioConfig(span_predictor=None, compute_dtype="bfloat16",
                          param_dtype="bfloat16")
+    _preflight_probe()
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
     t0 = time.time()

@@ -79,6 +79,23 @@ def _ring_attend_local(q, k, v, mask, *, scale: float, axis_name: str):
     return out.astype(q.dtype)
 
 
+@functools.lru_cache(maxsize=16)
+def _ring_fn(mesh: Mesh, scale: float, axis_name: str):
+    """Cached jitted shard_map wrapper: rebuilding it per call would miss
+    jax's jit cache (new function object every time) and recompile."""
+    seq = P(None, axis_name, None, None)
+    seq2 = P(None, axis_name)
+    return jax.jit(
+        jax.shard_map(
+            functools.partial(_ring_attend_local, scale=scale,
+                              axis_name=axis_name),
+            mesh=mesh,
+            in_specs=(seq, seq, seq, seq2),
+            out_specs=seq,
+        )
+    )
+
+
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -106,15 +123,7 @@ def ring_attention(
 
     seq = P(None, axis_name, None, None)
     seq2 = P(None, axis_name)
-    fn = jax.jit(
-        jax.shard_map(
-            functools.partial(_ring_attend_local, scale=scale,
-                              axis_name=axis_name),
-            mesh=mesh,
-            in_specs=(seq, seq, seq, seq2),
-            out_specs=seq,
-        )
-    )
+    fn = _ring_fn(mesh, scale, axis_name)
     q = jax.device_put(q, NamedSharding(mesh, seq))
     k = jax.device_put(k, NamedSharding(mesh, seq))
     v = jax.device_put(v, NamedSharding(mesh, seq))

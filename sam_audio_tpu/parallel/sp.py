@@ -36,6 +36,47 @@ from sam_audio_tpu.models.dit import (
 from sam_audio_tpu.ops.ring_attention import _ring_attend_local
 
 
+@functools.lru_cache(maxsize=8)
+def _sp_trunk_fn(mesh: Mesh, axis_name: str, cfg, compute_dtype, has_rope):
+    """Cached jitted shard_map trunk: rebuilding the closure per call would
+    miss jax's jit cache (new function identity) and recompile every time."""
+
+    def ring_adapter(q, k, v, key_padding_mask=None):
+        d = q.shape[-1]
+        mask = (jnp.ones(q.shape[:2], jnp.int8)
+                if key_padding_mask is None
+                else key_padding_mask.astype(jnp.int8))
+        return _ring_attend_local(q, k, v, mask, scale=1.0 / (d ** 0.5),
+                                  axis_name=axis_name)
+
+    def trunk(tp, h_loc, pad_loc, cos_loc, sin_loc, t0_, t_, y_, ymask):
+        tables = (cos_loc, sin_loc) if has_rope else None
+
+        def scan_body(carry, layer_params):
+            out = dit_block_apply(
+                layer_params, carry, cfg=cfg, cross_x=y_, t0=t0_,
+                padding_mask=pad_loc.astype(bool),
+                memory_padding_mask=ymask, rope_tables=tables,
+                compute_dtype=compute_dtype, attend_fn=ring_adapter,
+            )
+            return out, None
+
+        h_out, _ = jax.lax.scan(scan_body, h_loc, tp["layers"])
+        return dit_finalize(tp, h_out, t_, cfg=cfg,
+                            compute_dtype=compute_dtype)
+
+    seq3 = P(None, axis_name, None)
+    seq2 = P(None, axis_name)
+    rep = P()
+    return jax.jit(jax.shard_map(
+        trunk, mesh=mesh,
+        in_specs=(rep,  # prefix spec: every param leaf replicated
+                  seq3, seq2, P(axis_name, None), P(axis_name, None),
+                  rep, rep, rep, rep),
+        out_specs=seq3,
+    ))
+
+
 def dit_apply_sp(params, x, time, *, cfg, mesh: Mesh, axis_name: str = "sp",
                  padding_mask=None, memory=None, memory_padding_mask=None,
                  compute_dtype=None):
@@ -60,37 +101,11 @@ def dit_apply_sp(params, x, time, *, cfg, mesh: Mesh, axis_name: str = "sp",
         padding_mask = jnp.ones((b, s), bool)
     pad8 = padding_mask.astype(jnp.int8)
 
-    def ring_adapter(q, k, v, key_padding_mask=None):
-        d = q.shape[-1]
-        mask = (jnp.ones(q.shape[:2], jnp.int8)
-                if key_padding_mask is None
-                else key_padding_mask.astype(jnp.int8))
-        return _ring_attend_local(q, k, v, mask, scale=1.0 / (d ** 0.5),
-                                  axis_name=axis_name)
-
     trunk_params = {k: params[k] for k in
                     ("layers", "norm", "final_layer_scale_shift_table",
                      "output")}
-
-    def trunk(tp, h_loc, pad_loc, cos_loc, sin_loc, t0_, t_, y_, ymask):
-        tables = ((cos_loc, sin_loc) if rope_tables is not None else None)
-
-        def scan_body(carry, layer_params):
-            out = dit_block_apply(
-                layer_params, carry, cfg=cfg, cross_x=y_, t0=t0_,
-                padding_mask=pad_loc.astype(bool),
-                memory_padding_mask=ymask, rope_tables=tables,
-                compute_dtype=compute_dtype, attend_fn=ring_adapter,
-            )
-            return out, None
-
-        h_out, _ = jax.lax.scan(scan_body, h_loc, tp["layers"])
-        return dit_finalize(tp, h_out, t_, cfg=cfg,
-                            compute_dtype=compute_dtype)
-
     seq3 = P(None, axis_name, None)
     seq2 = P(None, axis_name)
-    rep = P()
     cos, sin = rope_tables if rope_tables is not None else (
         jnp.zeros((s, 1)), jnp.zeros((s, 1)))
     if memory is None:
@@ -103,13 +118,8 @@ def dit_apply_sp(params, x, time, *, cfg, mesh: Mesh, axis_name: str = "sp",
     if memory_padding_mask is None:
         memory_padding_mask = jnp.ones(y.shape[:2], bool)
 
-    fn = jax.jit(jax.shard_map(
-        trunk, mesh=mesh,
-        in_specs=(jax.tree_util.tree_map(lambda _: rep, trunk_params),
-                  seq3, seq2, P(axis_name, None), P(axis_name, None),
-                  rep, rep, rep, rep),
-        out_specs=seq3,
-    ))
+    fn = _sp_trunk_fn(mesh, axis_name, cfg, compute_dtype,
+                      rope_tables is not None)
     h = jax.device_put(h, NamedSharding(mesh, seq3))
     pad8 = jax.device_put(pad8, NamedSharding(mesh, seq2))
     cos = jax.device_put(cos, NamedSharding(mesh, P(axis_name, None)))

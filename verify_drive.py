@@ -12,6 +12,11 @@ import tempfile
 import jax
 import numpy as np
 
+# Relay-down fallback: the axon sitecustomize forces the TPU backend; honor
+# an explicit platform request (must be set AFTER importing jax, CLAUDE.md).
+if os.environ.get("SAM_AUDIO_BENCH_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SAM_AUDIO_BENCH_PLATFORM"])
+
 from sam_audio_tpu import SAMAudio, SAMAudioProcessor
 from sam_audio_tpu import checkpoint
 from sam_audio_tpu.audio_io import write_wav
