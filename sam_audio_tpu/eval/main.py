@@ -51,7 +51,10 @@ def gather_and_average_results(rows: List[Dict[str, float]],
             "same metric keys"
         )
         total = gathered.sum(axis=0)
-        summed = dict(zip(keys, total[:-1]))
+        # cast numpy scalars back to Python floats: the real process_allgather
+        # returns float32, and the documented Dict[str, float] contract (and
+        # json.dumps on the result) breaks on numpy scalar types
+        summed = {k: float(v) for k, v in zip(keys, total[:-1])}
         count = int(total[-1])
     return {k: v / max(count, 1) for k, v in summed.items()}
 
