@@ -51,6 +51,49 @@ def _tiny_judge():
     return model, proc
 
 
+def _tiny_model_and_processor():
+    cfg = tiny_test_config()
+    model = SAMAudio.init_random(
+        jax.random.PRNGKey(0), cfg,
+        tokenizer=ByteFallbackTokenizer(cfg.text_encoder.vocab_size),
+    )
+    processor = SAMAudioProcessor(
+        audio_hop_length=cfg.audio_codec.hop_length,
+        audio_sampling_rate=cfg.audio_codec.sample_rate,
+    )
+    return model, processor
+
+
+def _tiny_metrics():
+    judge_model, judge_proc = _tiny_judge()
+    return [
+        Judge(model=judge_model, processor=judge_proc),
+        Aesthetic(model=AesPredictor.init_random(
+            jax.random.PRNGKey(1),
+            AestheticsConfig(sample_rate=8000, n_fft=128, hop_length=64,
+                             n_mels=16, hidden=16, layers=1, heads=2),
+        )),
+        CLAP(model=ClapModel.init_random(
+            jax.random.PRNGKey(2),
+            ClapConfig(sample_rate=8000, duration_s=0.25, n_fft=128,
+                       hop_length=64, n_mels=16, fmin=10.0, fmax=4000.0,
+                       spec_size=64, patch_size=4, audio_embed_dim=8,
+                       depths=(1, 1), audio_heads=(2, 2), window_size=4,
+                       text_vocab=300, text_hidden=16, text_layers=1,
+                       text_heads=2, text_intermediate=24, max_text_len=16,
+                       embed_dim=8),
+            tokenizer=ByteFallbackTokenizer(300),
+        )),
+    ]
+
+
+EXPECTED_METRIC_KEYS = {
+    "JudgeOverall", "JudgeFaithfulness", "JudgeRecall", "JudgePrecision",
+    "ContentEnjoyment", "ContentUsefulness", "ProductionComplexity",
+    "ProductionQuality", "CLAPSimilarity",
+}
+
+
 def test_gather_and_average():
     rows = [{"a": 1.0, "b": 2.0}, {"a": 3.0, "b": 4.0}]
     avg = gather_and_average_results(rows)
@@ -71,35 +114,8 @@ def test_synthetic_dataset_items():
 
 
 def test_full_eval_loop_synthetic(tmp_path):
-    cfg = tiny_test_config()
-    model = SAMAudio.init_random(
-        jax.random.PRNGKey(0), cfg,
-        tokenizer=ByteFallbackTokenizer(cfg.text_encoder.vocab_size),
-    )
-    processor = SAMAudioProcessor(
-        audio_hop_length=cfg.audio_codec.hop_length,
-        audio_sampling_rate=cfg.audio_codec.sample_rate,
-    )
-    judge_model, judge_proc = _tiny_judge()
-    metrics = [
-        Judge(model=judge_model, processor=judge_proc),
-        Aesthetic(model=AesPredictor.init_random(
-            jax.random.PRNGKey(1),
-            AestheticsConfig(sample_rate=8000, n_fft=128, hop_length=64,
-                             n_mels=16, hidden=16, layers=1, heads=2),
-        )),
-        CLAP(model=ClapModel.init_random(
-            jax.random.PRNGKey(2),
-            ClapConfig(sample_rate=8000, duration_s=0.25, n_fft=128,
-                       hop_length=64, n_mels=16, fmin=10.0, fmax=4000.0,
-                       spec_size=64, patch_size=4, audio_embed_dim=8,
-                       depths=(1, 1), audio_heads=(2, 2), window_size=4,
-                       text_vocab=300, text_hidden=16, text_layers=1,
-                       text_heads=2, text_intermediate=24, max_text_len=16,
-                       embed_dim=8),
-            tokenizer=ByteFallbackTokenizer(300),
-        )),
-    ]
+    model, processor = _tiny_model_and_processor()
+    metrics = _tiny_metrics()
     out_dir = str(tmp_path / "results")
     results = run_eval(
         settings=["synthetic"], cache_path=str(tmp_path), batch_size=2,
@@ -108,11 +124,7 @@ def test_full_eval_loop_synthetic(tmp_path):
         max_items=2,
     )
     res = results["synthetic"]
-    expected_keys = {
-        "JudgeOverall", "JudgeFaithfulness", "JudgeRecall", "JudgePrecision",
-        "ContentEnjoyment", "ContentUsefulness", "ProductionComplexity",
-        "ProductionQuality", "CLAPSimilarity",
-    }
+    expected_keys = EXPECTED_METRIC_KEYS
     assert expected_keys == set(res.keys())
     assert all(np.isfinite(v) for v in res.values())
     with open(os.path.join(out_dir, "synthetic.json")) as f:

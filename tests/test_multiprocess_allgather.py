@@ -16,6 +16,8 @@ import socket
 import subprocess
 import sys
 
+import numpy as np
+
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Runs in a fresh interpreter: forces the CPU platform AFTER importing jax
@@ -82,3 +84,53 @@ def test_two_process_allgather_real_collective():
     # every rank returns the same global averages (reference semantics:
     # all_gather_object gives every rank the full set)
     assert results[0] == results[1]
+
+
+def test_two_process_full_eval_loop(tmp_path):
+    """The complete distributed eval flow across two real processes: each
+    rank shards the 4-item synthetic setting (items 0,2 vs 1,3), runs
+    separate() + Judge/Aesthetic/CLAP metric towers on its own local CPU
+    device, and the averaged results merge all 4 items through the real
+    process_allgather — the reference's torchrun eval (eval/main.py:53-60)
+    end to end."""
+    port = str(_free_port())
+    out_dir = str(tmp_path)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    worker = os.path.join(REPO_ROOT, "tests", "eval_mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(rank), port, out_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            cwd=REPO_ROOT, env=env, text=True,
+        )
+        for rank in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"eval worker failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    results = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines() if ln.startswith("RESULT ")]
+        assert lines, f"no RESULT line in: {out!r}"
+        results.append(json.loads(lines[0][len("RESULT "):]))
+
+    from test_eval import EXPECTED_METRIC_KEYS
+
+    for res in results:
+        assert set(res.keys()) == EXPECTED_METRIC_KEYS
+        assert all(np.isfinite(v) for v in res.values()), res
+    # both ranks observe the same global (4-item) averages
+    assert results[0] == results[1]
+    # rank 0 wrote the results file
+    with open(os.path.join(out_dir, "synthetic.json")) as f:
+        saved = json.load(f)
+    assert set(saved.keys()) == EXPECTED_METRIC_KEYS
