@@ -60,6 +60,41 @@ class SeparationPipeline:
         self.num_io_threads = num_io_threads
         self.timer = StageTimer()
 
+    def warmup(self, seconds: Sequence[float],
+               batch_sizes: Optional[Sequence[int]] = None):
+        """Pre-compile the jitted separation programs for every
+        (bucket_samples, batch) shape that audio of the given durations can
+        dispatch, so the first production request never pays the XLA compile
+        (minutes for the 1B pipeline on a fresh process). Runs one synthetic
+        silent batch per shape through the normal `run` path — exactly the
+        programs real traffic hits.
+
+        `seconds` are request durations (mapped to their length buckets);
+        `batch_sizes` defaults to (1, max_batch). Only the text-prompting
+        shapes are warmed: anchor prompts widen `anchor_ids` and visual
+        prompts add the vision tower, each their own compile on first use.
+        Returns the list of warmed (bucket_samples, batch_size) shapes."""
+        unit = self.model.hop_length * self.bucket_steps
+        sizes = sorted({min(max(1, int(b)), self.max_batch)
+                        for b in (batch_sizes or (1, self.max_batch))})
+        buckets = sorted({
+            max(unit, -(-int(s * self.model.sample_rate) // unit) * unit)
+            for s in seconds
+        })
+        warmed = []
+        for bucket in buckets:
+            for b in sizes:
+                reqs = [
+                    SeparationRequest(
+                        description="warmup",
+                        audio=np.zeros((1, bucket), np.float32),
+                    )
+                    for _ in range(b)
+                ]
+                self.run(reqs)
+                warmed.append((bucket, b))
+        return warmed
+
     def _load_one(self, req: SeparationRequest) -> np.ndarray:
         from sam_audio_tpu.audio_io import load_audio
         from sam_audio_tpu.ops.resample import resample_np

@@ -91,3 +91,26 @@ def test_pipeline_visual_request_with_stride():
     )])
     assert out[0].target.shape == (64,)
     assert np.isfinite(out[0].target).all()
+
+
+def test_warmup_precompiles_buckets():
+    pipe = make_pipeline(max_batch=2)
+    unit = pipe.model.hop_length * pipe.bucket_steps
+    # two durations mapping to distinct buckets; batch sizes clamp to
+    # max_batch and dedupe
+    sr = pipe.model.sample_rate
+    warmed = pipe.warmup(seconds=[unit / sr, 3 * unit / sr],
+                         batch_sizes=[1, 2, 5])
+    assert warmed == [(unit, 1), (unit, 2), (3 * unit, 1), (3 * unit, 2)]
+    # warmed shapes serve real traffic (same bucket/batch -> cached program)
+    rng = np.random.RandomState(1)
+    reqs = [
+        SeparationRequest(description="a", audio=rng.randn(1, unit)
+                          .astype(np.float32) * 0.1),
+        SeparationRequest(description="b", audio=rng.randn(1, unit - 2)
+                          .astype(np.float32) * 0.1),
+    ]
+    out = pipe.run(reqs)
+    assert len(out) == 2
+    assert all(np.isfinite(r.target).all() for r in out)
+    assert out[0].metadata["bucket"] == unit
