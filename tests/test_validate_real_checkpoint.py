@@ -28,6 +28,13 @@ def test_validator_passes_on_reference_shaped_checkpoint(tmp_path, capsys):
     torch.save(sd, tmp_path / "checkpoint.pt")
     cfg = dict(COMMON)
     cfg["compute_dtype"] = "float32"
+    # tiny JAX-side T5 arch for gate E's shared local text tower (the
+    # reference side only reads `dim` from this dict, config.py:49-60)
+    cfg["text_encoder"] = dict(dim=16, num_layers=2, num_heads=4, head_dim=4,
+                               d_ff=32, vocab_size=128,
+                               relative_attention_num_buckets=8,
+                               relative_attention_max_distance=16,
+                               max_length=16)
     (tmp_path / "config.json").write_text(json.dumps(cfg))
 
     mod = _load_script()
@@ -37,7 +44,7 @@ def test_validator_passes_on_reference_shaped_checkpoint(tmp_path, capsys):
     assert rc == 0
     # every gate reported
     for gate in ("A_velocity_field", "B_ode_32nfe", "C_codec_encode",
-                 "D_codec_decode_waveform"):
+                 "D_codec_decode_waveform", "E_full_separate_waveform"):
         assert gate in out, out
 
 
@@ -49,6 +56,13 @@ def test_validator_not_vacuously_green(tmp_path, capsys):
     torch.save(sd, tmp_path / "checkpoint.pt")
     cfg = dict(COMMON)
     cfg["compute_dtype"] = "float32"
+    # tiny JAX-side T5 arch for gate E's shared local text tower (the
+    # reference side only reads `dim` from this dict, config.py:49-60)
+    cfg["text_encoder"] = dict(dim=16, num_layers=2, num_heads=4, head_dim=4,
+                               d_ff=32, vocab_size=128,
+                               relative_attention_num_buckets=8,
+                               relative_attention_max_distance=16,
+                               max_length=16)
     (tmp_path / "config.json").write_text(json.dumps(cfg))
     mod = _load_script()
     rc = mod.main(str(tmp_path), tol=1e-12)
