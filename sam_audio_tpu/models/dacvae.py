@@ -209,10 +209,10 @@ def encode(params, wav: jnp.ndarray, cfg: DACVAEConfig, compute_dtype=None,
     z = encoder_apply(params["encoder"], pad_to_hop(wav, cfg.hop_length), cfg,
                       compute_dtype, use_fused)
     moments = C.conv1d(params["in_proj"], z, compute_dtype=compute_dtype)
-    mean = moments[:, : cfg.codebook_dim]
-    if cfg.mean != 0.0 or cfg.std != 1.0:
-        mean = (mean - cfg.mean) / cfg.std
-    return mean
+    # NOTE: cfg.mean/std are config-schema fields the reference SOURCE never
+    # applies anywhere in its separation pipeline (codec.py:65-70 is the raw
+    # in_proj mean; model.py consumes it unnormalized) — so neither do we.
+    return moments[:, : cfg.codebook_dim]
 
 
 def decode(params, encoded: jnp.ndarray, cfg: DACVAEConfig, compute_dtype=None,
@@ -223,8 +223,7 @@ def decode(params, encoded: jnp.ndarray, cfg: DACVAEConfig, compute_dtype=None,
     """
     if use_fused is None:
         use_fused = False  # see encode()
-    if cfg.mean != 0.0 or cfg.std != 1.0:
-        encoded = encoded * cfg.std + cfg.mean
+    # cfg.mean/std intentionally unapplied — see encode()
     emb = C.conv1d(params["out_proj"], encoded, compute_dtype=compute_dtype)
     return decoder_apply(params["decoder"], emb, cfg, compute_dtype, use_fused)
 

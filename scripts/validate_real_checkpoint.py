@@ -191,15 +191,13 @@ def main(snapshot: str, tol: float = 1e-3, seed: int = 0,
     results["B_ode_32nfe"] = float(np.abs(our_lat - ref_lat).max())
 
     # -- Gate C: codec encode (both sides (B, codebook_dim, T)) -------------
-    # our encode folds the config's latent mean/std normalization in
-    # (dacvae.encode); the reference applies it outside the raw codec, so
-    # mirror it on the oracle output for a like-for-like gate
-    m, s = our_cfg.audio_codec.mean, our_cfg.audio_codec.std
+    # raw in_proj mean latents on both sides — the reference source never
+    # applies the config's mean/std fields (codec.py:65-70), and neither
+    # does our dacvae.encode
     hop = int(np.prod(ck["encoder_rates"]))
     wav = (0.1 * rng.randn(b, 1, hop * 16)).astype(np.float32)
     with torch.no_grad():
         ref_enc = oracle.encode(torch.from_numpy(wav)).numpy()
-    ref_enc = (ref_enc - m) / s
     our_enc = np.asarray(our_dac.encode(
         params["audio_codec"], jnp.asarray(wav), our_cfg.audio_codec,
         compute_dtype=jnp.float32))
@@ -208,7 +206,7 @@ def main(snapshot: str, tol: float = 1e-3, seed: int = 0,
     # -- Gate D: codec decode -> waveform (the <=1e-3 north star) -----------
     lat = rng.randn(b, ck["codebook_dim"], 16).astype(np.float32)
     with torch.no_grad():
-        ref_wav = oracle.decode(torch.from_numpy(lat * s + m)).numpy()
+        ref_wav = oracle.decode(torch.from_numpy(lat)).numpy()
     our_wav = np.asarray(our_dac.decode(
         params["audio_codec"], jnp.asarray(lat), our_cfg.audio_codec,
         compute_dtype=jnp.float32))

@@ -78,3 +78,25 @@ def test_full_rates_shape_smoke():
     assert lat.shape == (1, 4, 2)
     out = dacvae.decode(params, lat, cfg)
     assert out.shape == (1, 1, 2 * 1920)
+
+
+def test_mean_std_config_fields_are_inert():
+    """The reference source never applies DACVAEConfig.mean/std anywhere in
+    its separation pipeline (codec.py:65-89 is the raw in_proj/out_proj
+    path; model.py consumes latents unnormalized) — so a config carrying
+    non-default values must not change our codec's behavior either."""
+    import dataclasses
+
+    params = dacvae.dacvae_init(jax.random.PRNGKey(0), CFG)
+    cfg_shifted = dataclasses.replace(CFG, mean=3.0, std=2.0)
+    wav = jnp.asarray(np.random.RandomState(1).randn(1, 1, 64).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(dacvae.encode(params, wav, CFG)),
+        np.asarray(dacvae.encode(params, wav, cfg_shifted)),
+    )
+    z = jnp.asarray(np.random.RandomState(2).randn(1, CFG.codebook_dim, 8)
+                    .astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(dacvae.decode(params, z, CFG)),
+        np.asarray(dacvae.decode(params, z, cfg_shifted)),
+    )
