@@ -109,7 +109,8 @@ def _preflight_probe(
 def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
          iters: int = 3, preview_nfe: int = 0, int8: bool = False,
          ranker: str = "clap", int4: bool = False, visual: bool = False,
-         split_scorer: bool = True, visual_stride: int = 1):
+         split_scorer: bool = True, visual_stride: int = 1,
+         pipelined: bool = False):
     from sam_audio_tpu.config import SAMAudioConfig
     from sam_audio_tpu.models.sam_audio import (
         decode_channel,
@@ -466,7 +467,7 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         residual = decode_channel(params, chosen, cfg=cfg, channel=1)
         return targets, residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
 
-    def run():
+    def run_async():
         if split_scorer:
             vf = step_vision(pe_aux) if visual else None
         if split_scorer and preview_nfe:
@@ -483,6 +484,10 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         else:
             targets, residual, csum = (step_preview if preview_nfe else step)(
                 params, aux, pe_aux, noise)
+        return targets, residual, csum
+
+    def run():
+        targets, residual, csum = run_async()
         float(csum)  # sync point
         return targets, residual
 
@@ -492,14 +497,32 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
     print(f"compile+first run: {compile_time:.1f}s, targets {targets.shape} "
           f"residual {residual.shape}", file=sys.stderr)
 
-    times = []
-    for _ in range(iters):
-        t0 = time.time()
-        run()
-        times.append(time.time() - t0)
-    avg = float(np.mean(times))
-    p50 = float(np.median(times))
     audio_sec = batch * t_wav / sr
+    if pipelined:
+        # Production-stream throughput: a server drains a request QUEUE, so
+        # request i+1's (async) dispatch overlaps request i's completion and
+        # the per-request relay sync (~25 ms RTT here) is off the critical
+        # path. Each request is still the identical exact-semantics program
+        # chain; only the host sync is one request behind.
+        t0 = time.time()
+        prev = None
+        for _ in range(iters):
+            _, _, csum = run_async()
+            if prev is not None:
+                float(prev)
+            prev = csum
+        float(prev)
+        wall = time.time() - t0
+        avg = p50 = wall / iters
+        times = [avg] * iters
+    else:
+        times = []
+        for _ in range(iters):
+            t0 = time.time()
+            run()
+            times.append(time.time() - t0)
+        avg = float(np.mean(times))
+        p50 = float(np.median(times))
     throughput = audio_sec / p50  # median: robust to relay-RPC outliers
     print(
         f"per-batch p50 {p50*1000:.0f} ms (mean {avg*1000:.0f} ms) for "
@@ -551,6 +574,13 @@ if __name__ == "__main__":
                     help="candidate scorer compiled into the measured step "
                          "(default: real CLAP tower, matching the reference's "
                          "in-separate reranking)")
+    ap.add_argument("--pipelined", action="store_true",
+                    help="measure a sustained request STREAM (server "
+                         "semantics): overlap request i+1's dispatch with "
+                         "request i's completion so the per-request relay "
+                         "sync is off the critical path; reports stream "
+                         "throughput (per-request latency is the sequential "
+                         "default's p50)")
     ap.add_argument("--int4", action="store_true",
                     help="opt-in int4 weight-storage mode "
                          "(SAMAudio.quantize(bits=4); k=1 latency study)")
@@ -565,4 +595,4 @@ if __name__ == "__main__":
          args.preview_nfe, args.int8, args.ranker, args.int4,
          visual=args.visual,
          split_scorer=3 if args.split3 else not args.fused_scorer,
-         visual_stride=args.visual_stride)
+         visual_stride=args.visual_stride, pipelined=args.pipelined)
