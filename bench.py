@@ -25,9 +25,11 @@ stand-in for A/B-ing scorer cost.
 
 Prints ONE JSON line:
   {"metric": "audio_sec_per_sec_per_chip", "value": X, "unit": "audio_sec/sec",
-   "vs_baseline": X / 8.0}
+   "vs_baseline": X / 8.0, "p50_ms": ..., "extras": {...}}
 (vs_baseline is relative to the >=8x-real-time target; the reference publishes
-no throughput numbers, BASELINE.md.)
+no throughput numbers, BASELINE.md. `value` is the sequential per-request
+number — it is also the p50 latency; `extras.pipelined_stream_x` records the
+loaded-server stream throughput measured with the same compiled programs.)
 """
 
 from __future__ import annotations
@@ -121,6 +123,7 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
     )
     from sam_audio_tpu.text_tokenizer import ByteFallbackTokenizer
 
+    _t_start = time.time()
     cfg = SAMAudioConfig(span_predictor=None, compute_dtype="bfloat16",
                          param_dtype="bfloat16")
     _preflight_probe()
@@ -498,23 +501,27 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
           f"residual {residual.shape}", file=sys.stderr)
 
     audio_sec = batch * t_wav / sr
-    if pipelined:
-        # Production-stream throughput: a server drains a request QUEUE, so
-        # request i+1's (async) dispatch overlaps request i's completion and
-        # the per-request relay sync (~25 ms RTT here) is off the critical
-        # path. Each request is still the identical exact-semantics program
-        # chain; only the host sync is one request behind.
+
+    def run_pipelined_stream(n: int) -> float:
+        """Production-stream throughput: a server drains a request QUEUE, so
+        request i+1's (async) dispatch overlaps request i's completion and
+        the per-request relay sync (~25 ms RTT here) is off the critical
+        path. Each request is still the identical exact-semantics program
+        chain; only the host sync is one request behind. Returns seconds
+        per request amortized over the stream."""
         t0 = time.time()
         prev = None
-        for _ in range(iters):
+        for _ in range(n):
             _, _, csum = run_async()
             if prev is not None:
                 float(prev)
             prev = csum
         float(prev)
-        wall = time.time() - t0
-        avg = p50 = wall / iters
-        times = [avg] * iters
+        return (time.time() - t0) / n
+
+    if pipelined:
+        avg = p50 = run_pipelined_stream(iters)
+        stream_s = p50
     else:
         times = []
         for _ in range(iters):
@@ -523,18 +530,60 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             times.append(time.time() - t0)
         avg = float(np.mean(times))
         p50 = float(np.median(times))
+        # Also measure the sustained request-stream rate with the SAME
+        # compiled programs (costs `iters` extra dispatches) so the driver
+        # artifact records both serving numbers: per-request latency
+        # (the headline `value`) and loaded-server throughput.
+        stream_s = run_pipelined_stream(iters)
     throughput = audio_sec / p50  # median: robust to relay-RPC outliers
+    stream_x = audio_sec / stream_s
     print(
         f"per-batch p50 {p50*1000:.0f} ms (mean {avg*1000:.0f} ms) for "
         f"{audio_sec:.0f}s audio at k={candidates} -> {throughput:.2f}x "
-        "realtime/chip",
+        f"realtime/chip; pipelined stream {stream_s*1000:.0f} ms/req -> "
+        f"{stream_x:.2f}x",
         file=sys.stderr,
     )
+    mode = ("int8" if int8 else "int4" if int4 else "exact") + \
+        (f"+preview{preview_nfe}" if preview_nfe else "") + \
+        ("+visual" if visual else "")
+    extras = {
+        "mode": mode,
+        "ranker_on_device": ranker,
+        "k": candidates,
+        "pipelined_stream_x": round(stream_x, 3),
+    }
+    # Also record k=1 request latency (no reranking, like the reference's
+    # separate(k=1): one ODE solve + both decodes — step_final at
+    # candidates=1). One extra shape compile; strictly bounded and fail-safe
+    # so the headline JSON line is never at risk.
+    if (candidates > 1 and not visual and not preview_nfe and not pipelined
+            and time.time() - _t_start < 600):
+        try:
+            def run_k1():
+                _, _, csum = step_final(params, None, noise[:batch])
+                float(csum)
+
+            t0 = time.time()
+            run_k1()
+            print(f"k=1 extra: compile+first run {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            k1 = []
+            for _ in range(iters):
+                t0 = time.time()
+                run_k1()
+                k1.append(time.time() - t0)
+            extras["k1_p50_ms"] = round(float(np.median(k1)) * 1000, 1)
+            print(f"k=1 p50 {extras['k1_p50_ms']:.0f} ms", file=sys.stderr)
+        except Exception as e:  # pragma: no cover - extras must never kill
+            print(f"k=1 extra skipped: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "audio_sec_per_sec_per_chip",
         "value": round(throughput, 3),
         "unit": "audio_sec/sec",
         "vs_baseline": round(throughput / 8.0, 3),
+        "p50_ms": round(p50 * 1000, 1),
+        "extras": extras,
     }))
 
 

@@ -799,6 +799,10 @@ def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
                     cfg.text_encoder.name, local_files_only=True
                 )
             except Exception:
+                from sam_audio_tpu.text_tokenizer import hub_reachable
+
+                if not hub_reachable():  # fail over in ~2 s, not ~40 s/file
+                    raise
                 m = T5EncoderModel.from_pretrained(cfg.text_encoder.name)
             t5sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
             params["text_encoder"] = convert_t5_state_dict(t5sd, cfg.text_encoder)

@@ -9,9 +9,37 @@ pipeline runs hermetically (tests, air-gapped TPU pods).
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def hub_reachable(timeout: float = 2.0) -> bool:
+    """Fast pre-check before any ONLINE HuggingFace fallback.
+
+    On air-gapped TPU hosts a cache-miss download pays ~40 s of internal
+    retry backoff PER FILE before failing over to the hermetic fallbacks
+    (~3 min for a tokenizer's file set). A 2 s DNS resolve answers the only
+    question that matters — is the hub reachable at all — so the fallback
+    engages immediately. Honors HF_HUB_OFFLINE/TRANSFORMERS_OFFLINE."""
+    if (os.environ.get("HF_HUB_OFFLINE") == "1"
+            or os.environ.get("TRANSFORMERS_OFFLINE") == "1"):
+        return False
+    import socket
+
+    host = os.environ.get("HF_ENDPOINT", "https://huggingface.co")
+    host = host.split("://", 1)[-1].split("/", 1)[0] or "huggingface.co"
+    try:
+        old = socket.getdefaulttimeout()
+        socket.setdefaulttimeout(timeout)
+        try:
+            socket.getaddrinfo(host, 443, proto=socket.IPPROTO_TCP)
+        finally:
+            socket.setdefaulttimeout(old)
+        return True
+    except OSError:
+        return False
 
 
 class HFTokenizer:
@@ -25,6 +53,8 @@ class HFTokenizer:
                 name_or_path, local_files_only=True
             )
         except Exception:
+            if not hub_reachable():
+                raise
             self.tok = AutoTokenizer.from_pretrained(name_or_path)
 
     def __call__(self, texts: Sequence[str], max_length: Optional[int] = 512

@@ -3,6 +3,12 @@ sharding paths are exercised without TPU hardware."""
 
 import os
 
+# Zero-egress environment: make HF loaders fail fast (local cache only)
+# instead of stalling ~40 s/file on network retries before their hermetic
+# fallbacks kick in (tokenizer fallback paths are still exercised).
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
