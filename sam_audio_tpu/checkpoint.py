@@ -767,8 +767,13 @@ def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
     else:
         from huggingface_hub import snapshot_download
 
+        from sam_audio_tpu.text_tokenizer import hub_reachable
+
+        # serve straight from the local HF cache when the hub is unreachable
+        # (air-gapped TPU hosts) instead of paying the download retry backoff
         snapshot = snapshot_download(repo_id=model_id_or_path,
-                                     revision=revision)
+                                     revision=revision,
+                                     local_files_only=not hub_reachable())
 
     with open(os.path.join(snapshot, "config.json")) as fin:
         cfg_dict = json.load(fin)

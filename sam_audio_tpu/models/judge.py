@@ -248,8 +248,12 @@ class SAMAudioJudgeModel:
         else:
             from huggingface_hub import snapshot_download
 
+            from sam_audio_tpu.text_tokenizer import hub_reachable
+
+            # local HF cache directly when air-gapped (no retry backoff)
             snapshot = snapshot_download(repo_id=model_id_or_path,
-                                         revision=cls.revision)
+                                         revision=cls.revision,
+                                         local_files_only=not hub_reachable())
         with open(os.path.join(snapshot, "config.json")) as fin:
             cfg_dict = json.load(fin)
         cfg_dict.update(overrides)

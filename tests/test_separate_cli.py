@@ -66,6 +66,15 @@ def test_cli_spans_and_candidates(snapshot_dir, mixture_wav, tmp_path):
     assert tgt.shape[-1] == n
 
 
+def test_hub_reachable_honors_offline_env(monkeypatch):
+    # the fast pre-check that keeps air-gapped hosts from paying HF's
+    # ~40 s/file retry backoff before hermetic fallbacks engage
+    from sam_audio_tpu.text_tokenizer import hub_reachable
+
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    assert hub_reachable() is False
+
+
 def test_cli_streaming_windows(snapshot_dir, mixture_wav, tmp_path):
     path, n, _ = mixture_wav
     out = str(tmp_path / "out_stream")
