@@ -248,9 +248,10 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             aux = jax.jit(quantize_clap_params)(aux)
             print("int8 CLAP scorer: HTSAT + RoBERTa matmuls quantized",
                   file=sys.stderr)
-        c_ids, c_mask = get_roberta_tokenizer(clap_cfg.text_vocab)(
-            descriptions, max_length=clap_cfg.max_text_len
-        )
+        # random-init scorer tower: the hermetic byte tokenizer is fine here
+        c_ids, c_mask = get_roberta_tokenizer(
+            clap_cfg.text_vocab, allow_fallback=True
+        )(descriptions, max_length=clap_cfg.max_text_len)
         c_ids, c_mask = jnp.asarray(c_ids), jnp.asarray(c_mask)
         # clap_audio_embed repeat-pads/center-truncates to the 10 s CLAP
         # window internally (fit_duration), so any bench --seconds works
@@ -553,30 +554,186 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         "k": candidates,
         "pipelined_stream_x": round(stream_x, 3),
     }
-    # Also record k=1 request latency (no reranking, like the reference's
-    # separate(k=1): one ODE solve + both decodes — step_final at
-    # candidates=1). One extra shape compile; strictly bounded and fail-safe
-    # so the headline JSON line is never at risk.
-    if (candidates > 1 and not visual and not preview_nfe and not pipelined
-            and time.time() - _t_start < 600):
-        try:
-            def run_k1():
-                _, _, csum = step_final(params, None, noise[:batch])
-                float(csum)
+    # ---- fail-safe, time-budgeted extras --------------------------------
+    # Each extra is gated on the time REMAINING in the bench budget minus an
+    # expected-compile ALLOWANCE (the gate used to be checked only before the
+    # compile started, so a cold 200-300 s relay compile could blow straight
+    # past it — ADVICE r3). Warm runs (the driver reruns programs this round
+    # already compiled) clear every gate; a cold run skips extras instead of
+    # overrunning the driver window. Every extra is wrapped so the headline
+    # JSON line is never at risk.
+    budget_s = float(os.environ.get("SAM_AUDIO_BENCH_BUDGET_S", 780.0))
+    deadline = _t_start + budget_s
 
+    def _extra(name, allowance_s, fn):
+        if time.time() > deadline - allowance_s:
+            print(f"{name} extra skipped: < {allowance_s:.0f}s of budget left",
+                  file=sys.stderr)
+            return
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover - extras must never kill
+            print(f"{name} extra skipped: {e}", file=sys.stderr)
+
+    run_extras = (candidates > 1 and not visual and not preview_nfe
+                  and not pipelined and not int8 and not int4)
+
+    def _k1_extra():
+        def run_k1():
+            _, _, csum = step_final(params, None, noise[:batch])
+            float(csum)
+
+        t0 = time.time()
+        run_k1()
+        print(f"k=1 extra: compile+first run {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        k1 = []
+        for _ in range(iters):
             t0 = time.time()
             run_k1()
-            print(f"k=1 extra: compile+first run {time.time()-t0:.1f}s",
-                  file=sys.stderr)
-            k1 = []
-            for _ in range(iters):
-                t0 = time.time()
-                run_k1()
-                k1.append(time.time() - t0)
-            extras["k1_p50_ms"] = round(float(np.median(k1)) * 1000, 1)
-            print(f"k=1 p50 {extras['k1_p50_ms']:.0f} ms", file=sys.stderr)
-        except Exception as e:  # pragma: no cover - extras must never kill
-            print(f"k=1 extra skipped: {e}", file=sys.stderr)
+            k1.append(time.time() - t0)
+        extras["k1_p50_ms"] = round(float(np.median(k1)) * 1000, 1)
+        print(f"k=1 p50 {extras['k1_p50_ms']:.0f} ms", file=sys.stderr)
+
+    def _judge_extra():
+        # secondary on-device scorer on the record (VERDICT r3 weak #5): the
+        # full judge stack (ModernBERT + DAC-VAE encoder + 2x PE-AV towers,
+        # reference judge.py:90-132) replaces CLAP in the second dispatch;
+        # generation program is reused as-is.
+        from sam_audio_tpu.config import SAMAudioJudgeConfig
+        from sam_audio_tpu.models.judge import judge_forward_grouped, judge_init
+
+        jcfg = SAMAudioJudgeConfig()
+        j_aux = _gen_random_like(
+            lambda k: judge_init(k, jcfg, jnp.bfloat16), jax.random.PRNGKey(8)
+        )
+        j_ids = jnp.asarray(
+            ByteFallbackTokenizer(jcfg.text_model.vocab_size)(descriptions)[0]
+        )
+
+        @jax.jit
+        def step_score_judge(params, j_aux, latents, targets):
+            out = judge_forward_grouped(
+                j_aux, jcfg, input_ids=j_ids, input_values=audios,
+                separated_values=targets[:, None, :], k=candidates,
+                compute_dtype=compute_dtype,
+            )
+            scores = out.overall.reshape(batch, candidates)
+            idxs = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            chosen = gather_candidates(latents, idxs, cfg=cfg,
+                                       candidates=candidates)
+            residual = decode_channel(params, chosen, cfg=cfg, channel=1)
+            return residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
+
+        def run_judge():
+            latents, targets = step_gen(params, None, noise)
+            _, csum = step_score_judge(params, j_aux, latents, targets)
+            float(csum)
+
+        t0 = time.time()
+        run_judge()
+        print(f"judge extra: compile+first run {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        ts = []
+        for _ in range(iters):
+            t0 = time.time()
+            run_judge()
+            ts.append(time.time() - t0)
+        p50j = float(np.median(ts))
+        extras["judge_p50_ms"] = round(p50j * 1000, 1)
+        extras["judge_x"] = round(audio_sec / p50j, 3)
+        print(f"judge rerank p50 {p50j*1000:.0f} ms -> {audio_sec/p50j:.2f}x",
+              file=sys.stderr)
+
+    def _visual_extra():
+        # exact-semantics visual prompting on the record (VERDICT r3 weak
+        # #2/#5): PE-Core ViT-L over 1 frame per latent frame @336^2
+        # (reference model.py:186-191) conditioning the same generation, CLAP
+        # rerank reused for the second dispatch.
+        from sam_audio_tpu.models.pe_clip import encode_images, pe_clip_init
+
+        vcfg = cfg.vision_encoder
+        pe_aux2 = _gen_random_like(
+            lambda k: pe_clip_init(k, vcfg, jnp.bfloat16),
+            jax.random.PRNGKey(11),
+        )
+        pe_frames2 = jax.jit(
+            lambda k: jax.random.normal(
+                k, (batch * t_frames, 3, vcfg.image_size, vcfg.image_size),
+                jnp.bfloat16) * 0.5
+        )(jax.random.PRNGKey(12))
+
+        @jax.jit
+        def step_vision_x(pe_aux2):
+            feats = encode_images(pe_aux2, pe_frames2, vcfg,
+                                  compute_dtype=compute_dtype)
+            return jnp.swapaxes(
+                feats.reshape(batch, t_frames, -1), 1, 2).astype(jnp.float32)
+
+        @jax.jit
+        def step_gen_vis(params, video_features, noise):
+            latents = separate_latents(
+                params, audios, text_ids, text_mask, anchor_ids,
+                anchor_alignment, audio_pad_mask, noise, video_features,
+                cfg=cfg, candidates=candidates, use_video=True,
+            )
+            targets = decode_channel(params, latents, cfg=cfg, channel=0)
+            return latents, targets
+
+        def run_visual():
+            vf = step_vision_x(pe_aux2)
+            latents, targets = step_gen_vis(params, vf, noise)
+            _, csum = step_score(params, aux, latents, targets)
+            float(csum)
+
+        t0 = time.time()
+        run_visual()
+        print(f"visual extra: compile+first run {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        ts = []
+        for _ in range(iters):
+            t0 = time.time()
+            run_visual()
+            ts.append(time.time() - t0)
+        p50v = float(np.median(ts))
+        extras["visual_exact_x"] = round(audio_sec / p50v, 3)
+        print(f"visual exact (PE tower + CLAP rerank) p50 {p50v*1000:.0f} ms"
+              f" -> {audio_sec/p50v:.2f}x", file=sys.stderr)
+
+    def _int8_probe():
+        # flagship-scale quantization accuracy, measured on chip (VERDICT r3
+        # weak #6): exact vs int8 decoded-target agreement on the 1B model.
+        from sam_audio_tpu.ops.quant import quantize_sam_audio_params
+
+        q_params = jax.jit(quantize_sam_audio_params)(params)
+        lat_e, tgt_e = step_gen(params, None, noise)
+        lat8, tgt8 = step_gen(q_params, None, noise)
+
+        @jax.jit
+        def _agree(a, b):
+            a = a.astype(jnp.float32).reshape(-1)
+            b = b.astype(jnp.float32).reshape(-1)
+            a = a - jnp.mean(a)
+            b = b - jnp.mean(b)
+            corr = jnp.sum(a * b) * jax.lax.rsqrt(
+                jnp.sum(a * a) * jnp.sum(b * b) + 1e-30)
+            snr = 10.0 * jnp.log10(
+                jnp.sum(a * a) / (jnp.sum(jnp.square(a - b)) + 1e-30))
+            return corr, snr
+
+        t0 = time.time()
+        corr, snr = _agree(tgt_e, tgt8)
+        corr, snr = float(corr), float(snr)
+        extras["int8_target_corr"] = round(corr, 5)
+        extras["int8_target_snr_db"] = round(snr, 2)
+        print(f"int8 probe ({time.time()-t0:.1f}s): target corr {corr:.5f}, "
+              f"SNR {snr:.2f} dB vs exact (same noise)", file=sys.stderr)
+
+    if run_extras:
+        _extra("k=1", 250.0, _k1_extra)
+        _extra("judge", 350.0, _judge_extra)
+        _extra("visual", 400.0, _visual_extra)
+        _extra("int8-probe", 350.0, _int8_probe)
     print(json.dumps({
         "metric": "audio_sec_per_sec_per_chip",
         "value": round(throughput, 3),

@@ -863,4 +863,11 @@ def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
         span_predictor=span_predictor,
         allow_random_towers=allow_random_towers,
     )
+    if not allow_random_towers:
+        # Resolve the text tokenizer NOW so a missing tokenizer fails at
+        # load time with staging instructions, not mid-separate() — real
+        # weights must never silently condition on byte-fallback token ids
+        # (reference sam_audio/model/text_encoder.py:14-15 always loads the
+        # real HF tokenizer).
+        model.tokenizer
     return model

@@ -238,14 +238,19 @@ def convert_clap_state_dict(sd, cfg: ClapConfig):
 
 
 class ClapModel:
-    def __init__(self, cfg: ClapConfig, params, tokenizer=None):
+    def __init__(self, cfg: ClapConfig, params, tokenizer=None,
+                 allow_fallback_tokenizer: bool = False):
         self.cfg = cfg
         self.params = params
         self._tokenizer = tokenizer
+        # random-init models may tokenize with the hermetic byte fallback;
+        # converted checkpoints must resolve a real RoBERTa tokenizer
+        self.allow_fallback_tokenizer = allow_fallback_tokenizer
 
     @classmethod
     def init_random(cls, key, cfg: ClapConfig = ClapConfig(), tokenizer=None):
-        return cls(cfg, clap_init(key, cfg), tokenizer)
+        return cls(cfg, clap_init(key, cfg), tokenizer,
+                   allow_fallback_tokenizer=True)
 
     @classmethod
     def from_torch_checkpoint(cls, path: str, cfg: ClapConfig = ClapConfig(),
@@ -264,7 +269,11 @@ class ClapModel:
         if self._tokenizer is None:
             from sam_audio_tpu.text_tokenizer import get_roberta_tokenizer
 
-            self._tokenizer = get_roberta_tokenizer(self.cfg.text_vocab)
+            self._tokenizer = get_roberta_tokenizer(
+                self.cfg.text_vocab,
+                allow_fallback=getattr(self, "allow_fallback_tokenizer",
+                                       False),
+            )
         return self._tokenizer
 
     def quantize(self):

@@ -133,16 +133,35 @@ def encode_images(params, x: jnp.ndarray, cfg: PerceptionEncoderConfig,
             n_prefix_tokens=1 if cfg.use_cls_token else 0,
         )
 
+    # The (N, 16, 577, 577) score matrix is the tower's dominant HBM object
+    # (4.3 GB fp32 at 250 frames, re-read by the softmax and the AV matmul);
+    # materialize it in the compute dtype when that is low-precision. The
+    # MXU still accumulates fp32 and the softmax reduces in fp32 — only the
+    # HBM-resident logits are rounded (~1e-3 relative weight error, below
+    # the bf16 compute noise already accepted on this path).
+    # SAM_AUDIO_PE_SCORE_F32=1 restores fp32 scores (A/B, golden debugging).
+    import os as _os
+
+    score_dtype = None
+    if (compute_dtype is not None
+            and jnp.dtype(compute_dtype).itemsize < 4
+            and _os.environ.get("SAM_AUDIO_PE_SCORE_F32") != "1"):
+        score_dtype = compute_dtype
+
+    # NOTE (mb_pe_ablate, r4): fusing wq/wk/wv into one (w, 3w) matmul in the
+    # layer body measured 63 ms SLOWER over the 24-layer stack at the
+    # 250x577 serving shape — the separate projections stay.
     def body(carry, layer):
         hc = carry
         y = N.layernorm(layer["ln1"], hc)
-        q = N.linear(layer["attn"]["wq"], y, compute_dtype).reshape(n, -1, heads, hd)
-        k = N.linear(layer["attn"]["wk"], y, compute_dtype).reshape(n, -1, heads, hd)
-        v = N.linear(layer["attn"]["wv"], y, compute_dtype).reshape(n, -1, heads, hd)
+        att = layer["attn"]
+        q = N.linear(att["wq"], y, compute_dtype).reshape(n, -1, heads, hd)
+        k = N.linear(att["wk"], y, compute_dtype).reshape(n, -1, heads, hd)
+        v = N.linear(att["wv"], y, compute_dtype).reshape(n, -1, heads, hd)
         if rope_cs is not None:
             q = apply_rope(q, *rope_cs)
             k = apply_rope(k, *rope_cs)
-        o = attend(q, k, v).reshape(n, -1, w)
+        o = attend(q, k, v, score_dtype=score_dtype).reshape(n, -1, w)
         hc = hc + N.linear(layer["attn"]["wo"], o, compute_dtype)
         y = N.layernorm(layer["ln2"], hc)
         y = jax.nn.gelu(N.linear(layer["mlp"]["fc1"], y, compute_dtype),

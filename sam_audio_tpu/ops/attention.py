@@ -29,9 +29,18 @@ def sdpa(
     v: jnp.ndarray,
     key_padding_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    score_dtype=None,
 ) -> jnp.ndarray:
     """q: (B, Sq, H, D); k, v: (B, Sk, H, D); key_padding_mask: (B, Sk) bool,
-    True = attend. Returns (B, Sq, H, D). Softmax in fp32."""
+    True = attend. Returns (B, Sq, H, D). Softmax in fp32.
+
+    `score_dtype` (optional): materialize the (B, H, Sq, Sk) score matrix in
+    this dtype instead of fp32 (the MXU still accumulates fp32; softmax still
+    reduces in fp32 — only the HBM-resident logits are rounded). At large
+    token counts the score matrix dominates attention HBM traffic (e.g. the
+    PE tower's 250x16x577x577 scores are 4.3 GB in fp32), so bf16 halves the
+    bandwidth cost of the softmax round-trip for ~1e-3-relative weight error.
+    """
     d = q.shape[-1]
     if scale is None:
         scale = 1.0 / (d**0.5)
@@ -40,7 +49,13 @@ def sdpa(
     if key_padding_mask is not None:
         neg = jnp.finfo(jnp.float32).min
         logits = jnp.where(key_padding_mask[:, None, None, :], logits, neg)
-    weights = jax.nn.softmax(logits, axis=-1)
+    if score_dtype is not None and logits.dtype != score_dtype:
+        # round once at the matmul epilogue; softmax upcasts per-element in
+        # registers (the fused reduce reads the narrow array from HBM)
+        logits = logits.astype(score_dtype)
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    else:
+        weights = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
@@ -55,6 +70,7 @@ def attend(
     key_padding_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     use_flash: Optional[bool] = None,
+    score_dtype=None,
 ) -> jnp.ndarray:
     """Dispatch between XLA SDPA and the Pallas flash kernel.
 
@@ -73,4 +89,5 @@ def attend(
         from sam_audio_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, key_padding_mask=key_padding_mask, scale=scale)
-    return sdpa(q, k, v, key_padding_mask=key_padding_mask, scale=scale)
+    return sdpa(q, k, v, key_padding_mask=key_padding_mask, scale=scale,
+                score_dtype=score_dtype)

@@ -77,6 +77,7 @@ class Batch:
         anchors: Optional[List[List[Anchor]]] = None,
         audio_pad_mask: Optional[np.ndarray] = None,
         masked_video: Optional[list] = None,
+        anchor_pad_to: Optional[int] = None,
     ):
         self.audios = audios
         self.sizes = sizes
@@ -86,6 +87,10 @@ class Batch:
         self.masked_video = masked_video
         self.hop_length = hop_length
         self.audio_sampling_rate = audio_sampling_rate
+        # minimum anchor-slot width: callers issuing many batches (streaming)
+        # pin this so every batch compiles to ONE jit shape regardless of how
+        # many anchors land in each window
+        self.anchor_pad_to = anchor_pad_to
         self.process_anchors(anchors)
         assert self.audios.shape[0] == len(self.descriptions)
 
@@ -102,11 +107,14 @@ class Batch:
         (reference: sam_audio/processor.py:78-124)."""
         batch_size = self.audios.shape[0]
         t_feat = self.audio_pad_mask.shape[-1]
+        pad_to = getattr(self, "anchor_pad_to", None)
         anchor_alignment = np.zeros((batch_size, t_feat), np.int32)
         anchor_alignment[~self.audio_pad_mask] = 1  # pad frames -> <pad> slot
         if anchors is None:
-            anchor_ids = np.full((batch_size, 2), ANCHOR_VOCAB["<null>"], np.int32)
-            anchor_ids[:, 1] = ANCHOR_VOCAB["<pad>"]
+            width = max(2, pad_to or 0)
+            anchor_ids = np.full((batch_size, width), ANCHOR_VOCAB["<pad>"],
+                                 np.int32)
+            anchor_ids[:, 0] = ANCHOR_VOCAB["<null>"]
         else:
             ids = []
             for i, anchor_list in enumerate(anchors):
@@ -121,7 +129,7 @@ class Batch:
                     anchor_alignment[i, start_idx:end_idx] = len(current)
                     current.append(ANCHOR_VOCAB[token])
                 ids.append(current)
-            longest = max(len(c) for c in ids)
+            longest = max([len(c) for c in ids] + [pad_to or 0])
             # round the anchor-slot axis up to a multiple of 4: unused slots are
             # <pad> (never referenced by the alignment) and this keeps the jit
             # shape stable across prompts with different anchor counts
@@ -234,9 +242,12 @@ class SAMAudioProcessor(Processor):
         anchors: Optional[List[List[Anchor]]] = None,
         masked_videos: Optional[Sequence[Union[str, np.ndarray]]] = None,
         pad_to_samples: Optional[int] = None,
+        pad_anchors_to: Optional[int] = None,
     ) -> Batch:
         """reference: sam_audio/processor.py:211-260. `pad_to_samples` forces
-        the padded waveform length (serving pipeline bucket)."""
+        the padded waveform length (serving pipeline bucket); `pad_anchors_to`
+        forces a minimum anchor-slot width so repeated calls with varying
+        anchor counts reuse one jit shape."""
         assert len(descriptions) == len(audios)
         assert anchors is None or len(descriptions) == len(anchors)
         assert masked_videos is None or len(descriptions) == len(masked_videos)
@@ -281,6 +292,7 @@ class SAMAudioProcessor(Processor):
             hop_length=self.audio_hop_length,
             audio_sampling_rate=self.audio_sampling_rate,
             wav_sizes=wav_sizes,
+            anchor_pad_to=pad_anchors_to,
         )
 
 
@@ -297,11 +309,14 @@ class SAMAudioJudgeProcessor(Processor):
         self.tokenizer = tokenizer
 
     @classmethod
-    def from_pretrained(cls, model_name_or_path: str, **kwargs):
+    def from_pretrained(cls, model_name_or_path: str,
+                        allow_fallback_tokenizer: bool = False, **kwargs):
         config = cls._get_config(model_name_or_path)
         from sam_audio_tpu.text_tokenizer import get_text_tokenizer
 
-        tokenizer = get_text_tokenizer(model_name_or_path)
+        tokenizer = get_text_tokenizer(
+            model_name_or_path, allow_fallback=allow_fallback_tokenizer
+        )
         return cls(
             audio_hop_length=config.audio_codec.hop_length,
             audio_sampling_rate=config.audio_codec.sample_rate,

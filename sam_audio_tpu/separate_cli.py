@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--int8", action="store_true",
                     help="opt-in int8 serving mode (model.quantize())")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--allow-random-towers", action="store_true",
+                    help="tests/benchmarks only: let missing sub-towers and "
+                         "tokenizer assets fall back to random/byte-level "
+                         "stand-ins instead of raising")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,7 +50,8 @@ def main(argv=None):
     from sam_audio_tpu import SAMAudio, SAMAudioProcessor
     from sam_audio_tpu.audio_io import write_wav
 
-    model = SAMAudio.from_pretrained(args.model)
+    model = SAMAudio.from_pretrained(
+        args.model, allow_random_towers=args.allow_random_towers)
     if args.int8:
         model.quantize()
     anchors = [("+", s, e) for s, e in (args.spans or [])] or None

@@ -9,10 +9,13 @@ pipeline runs hermetically (tests, air-gapped TPU pods).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 def hub_reachable(timeout: float = 2.0) -> bool:
@@ -20,26 +23,41 @@ def hub_reachable(timeout: float = 2.0) -> bool:
 
     On air-gapped TPU hosts a cache-miss download pays ~40 s of internal
     retry backoff PER FILE before failing over to the hermetic fallbacks
-    (~3 min for a tokenizer's file set). A 2 s DNS resolve answers the only
-    question that matters — is the hub reachable at all — so the fallback
-    engages immediately. Honors HF_HUB_OFFLINE/TRANSFORMERS_OFFLINE."""
+    (~3 min for a tokenizer's file set). A bounded TCP connect to the hub's
+    port answers the only question that matters — is the hub reachable at
+    all — so the fallback engages immediately. A plain DNS resolve would
+    lie on the common zero-egress topology where DNS answers but outbound
+    TCP is blocked, and the resolver itself ignores socket timeouts, so the
+    probe runs in a daemon thread joined with a hard deadline. Honors
+    HF_HUB_OFFLINE/TRANSFORMERS_OFFLINE."""
     if (os.environ.get("HF_HUB_OFFLINE") == "1"
             or os.environ.get("TRANSFORMERS_OFFLINE") == "1"):
         return False
     import socket
+    import threading
+    from urllib.parse import urlsplit
 
-    host = os.environ.get("HF_ENDPOINT", "https://huggingface.co")
-    host = host.split("://", 1)[-1].split("/", 1)[0] or "huggingface.co"
-    try:
-        old = socket.getdefaulttimeout()
-        socket.setdefaulttimeout(timeout)
+    endpoint = os.environ.get("HF_ENDPOINT", "https://huggingface.co")
+    if "://" not in endpoint:
+        endpoint = "https://" + endpoint
+    parts = urlsplit(endpoint)
+    host = parts.hostname or "huggingface.co"
+    port = parts.port or (80 if parts.scheme == "http" else 443)
+
+    ok = []
+
+    def _probe():
         try:
-            socket.getaddrinfo(host, 443, proto=socket.IPPROTO_TCP)
-        finally:
-            socket.setdefaulttimeout(old)
-        return True
-    except OSError:
-        return False
+            s = socket.create_connection((host, port), timeout=timeout)
+            s.close()
+            ok.append(True)
+        except OSError:
+            pass
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout + 0.5)  # hard bound even if the libc resolver stalls
+    return bool(ok)
 
 
 class HFTokenizer:
@@ -215,10 +233,17 @@ def _bytes_to_unicode() -> dict:
     return dict(zip(bs, map(chr, cs)))
 
 
-def get_roberta_tokenizer(vocab_size: int = 50265):
+def get_roberta_tokenizer(vocab_size: int = 50265,
+                          allow_fallback: bool = False):
     """Best tokenizer available for the CLAP text tower: in-repo/env BPE files
-    -> locally-cached HF roberta-base -> hermetic byte fallback (only valid
-    with randomly-initialized text towers)."""
+    -> locally-cached HF roberta-base -> hermetic byte fallback.
+
+    The byte fallback is NOT vocabulary-compatible with RoBERTa: with real
+    CLAP weights it would silently score garbage token ids, so it is gated
+    the same way random tower weights are (reference always tokenizes with
+    the real HF tokenizer, sam_audio/ranking/clap.py:30). Callers with real
+    weights get a RuntimeError with staging instructions; tests/benchmarks
+    on random towers opt in with allow_fallback=True."""
     import os
 
     for cand in (os.environ.get("SAM_AUDIO_ROBERTA_TOKENIZER"),
@@ -235,16 +260,53 @@ def get_roberta_tokenizer(vocab_size: int = 50265):
                                                 local_files_only=True)
         return tok
     except Exception:
-        pass
+        if not allow_fallback:
+            raise RuntimeError(
+                "No RoBERTa tokenizer is available: stage vocab.json + "
+                "merges.txt (point SAM_AUDIO_ROBERTA_TOKENIZER at the "
+                "directory, or cache HF 'roberta-base' locally). Real CLAP "
+                "weights with the byte fallback tokenizer would silently "
+                "condition on garbage token ids — the reference always uses "
+                "the real HF tokenizer (sam_audio/ranking/clap.py:30). Pass "
+                "allow_fallback=True only with randomly-initialized towers."
+            )
+    logger.warning(
+        "Falling back to the hermetic ByteFallbackTokenizer for RoBERTa — "
+        "NOT vocabulary-compatible; use only with random-init text towers."
+    )
     return ByteFallbackTokenizer(vocab_size)
 
 
-def get_text_tokenizer(cfg_or_name, prefer_hf: bool = True):
+def get_text_tokenizer(cfg_or_name, prefer_hf: bool = True,
+                       allow_fallback: bool = False):
+    """T5 text tokenizer: HF (local cache first) -> hermetic byte fallback.
+
+    The fallback is gated exactly like random tower weights: with a real
+    converted checkpoint the model must never silently condition on byte-
+    level token ids (the reference always tokenizes with the real HF T5
+    tokenizer, sam_audio/model/text_encoder.py:14-15)."""
     name = getattr(cfg_or_name, "name", cfg_or_name)
     vocab = getattr(cfg_or_name, "vocab_size", 32128)
     if prefer_hf:
         try:
             return HFTokenizer(name)
         except Exception:
-            pass
+            if not allow_fallback:
+                raise RuntimeError(
+                    f"No tokenizer for '{name}' is available locally and the "
+                    "hub is unreachable. Stage the HF tokenizer files (e.g. "
+                    "`huggingface-cli download t5-base` on a connected host, "
+                    "then ship the cache) — the reference always loads the "
+                    "real T5 tokenizer (sam_audio/model/text_encoder.py:14-15)"
+                    ". The byte-level fallback would silently condition the "
+                    "model on garbage token ids; pass allow_fallback=True "
+                    "(or allow_random_towers=True on the model) only with "
+                    "randomly-initialized text towers."
+                )
+    if prefer_hf:
+        logger.warning(
+            "Falling back to the hermetic ByteFallbackTokenizer for '%s' — "
+            "NOT vocabulary-compatible; use only with random-init text "
+            "towers.", name,
+        )
     return ByteFallbackTokenizer(vocab)

@@ -69,6 +69,6 @@ def test_load_sam_audio_from_dir(tmp_path):
     }
     with open(tmp_path / "config.json", "w") as f:
         json.dump(cfg_dict, f)
-    model = load_sam_audio(str(tmp_path))
+    model = load_sam_audio(str(tmp_path), allow_random_towers=True)
     assert model.cfg.audio_codec.hop_length == 8
     assert "transformer" in model.params

@@ -85,3 +85,30 @@ def test_full_checkpoint_weight_norm_keys_present(tmp_path):
     wn = [k for k in sd if k.endswith(("weight_g", "weight_v"))
           or "parametrizations" in k]
     assert wn, "expected weight-norm keys in the codec fixture"
+
+
+def test_load_without_tokenizer_assets_raises(tmp_path):
+    """Real converted weights + no resolvable tokenizer must fail AT LOAD
+    with staging instructions (VERDICT r3 weak #4): the byte fallback would
+    silently condition a real checkpoint on garbage token ids. The reference
+    always loads the real HF tokenizer (text_encoder.py:14-15)."""
+    import pytest
+
+    from sam_audio_tpu.checkpoint import save_params
+
+    sd = _reference_shaped_checkpoint()
+    torch.save(sd, tmp_path / "checkpoint.pt")
+    cfg = dict(COMMON)
+    cfg["compute_dtype"] = "float32"
+    # a tokenizer name that can never resolve (offline conftest + no cache)
+    cfg["text_encoder"] = {"dim": 16, "name": "nonexistent/no-such-tok"}
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+
+    # hermetic opt-in path still works (warns, byte fallback)
+    model = load_sam_audio(str(tmp_path), allow_random_towers=True)
+    # stage the full params (incl. the text tower) so the strict reload gets
+    # past the T5-weights gate and reaches the tokenizer gate
+    save_params(str(tmp_path / "params.npz"), model.params)
+
+    with pytest.raises(RuntimeError, match="tokenizer"):
+        load_sam_audio(str(tmp_path))

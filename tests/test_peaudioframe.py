@@ -151,7 +151,7 @@ def test_load_sam_audio_attaches_peaudioframe(tmp_path):
         "vocab_size": 300, "pos": "none", **arch,
     }))
 
-    model = load_sam_audio(str(tmp_path))
+    model = load_sam_audio(str(tmp_path), allow_random_towers=True)
     assert isinstance(model.span_predictor, PEAudioFrameModel)
 
     proc = SAMAudioProcessor(audio_hop_length=8, audio_sampling_rate=8000)

@@ -45,7 +45,8 @@ def mixture_wav(tmp_path):
 def test_cli_direct_writes_outputs(snapshot_dir, mixture_wav, tmp_path):
     path, n, sr = mixture_wav
     out = str(tmp_path / "out")
-    cli_main(["-p", snapshot_dir, "-i", path, "-d", "a test tone",
+    cli_main(["--allow-random-towers",  # hermetic random snapshot
+              "-p", snapshot_dir, "-i", path, "-d", "a test tone",
               "-o", out, "--seed", "3"])
     tgt, tsr = load_audio(out + "/target.wav")
     res, _ = load_audio(out + "/residual.wav")
@@ -60,7 +61,8 @@ def test_cli_spans_and_candidates(snapshot_dir, mixture_wav, tmp_path):
     # -c 2 without a ranker configured falls back to candidate 0 (the
     # reference needs a text_ranker for k>1; separate() handles has_ranker
     # False by picking index 0) and --spans adds a "+" anchor
-    cli_main(["-p", snapshot_dir, "-i", path, "-d", "a test tone",
+    cli_main(["--allow-random-towers",  # hermetic random snapshot
+              "-p", snapshot_dir, "-i", path, "-d", "a test tone",
               "-o", out, "-c", "2", "--spans", "0.01", "0.03"])
     tgt, _ = load_audio(out + "/target.wav")
     assert tgt.shape[-1] == n
@@ -78,7 +80,8 @@ def test_hub_reachable_honors_offline_env(monkeypatch):
 def test_cli_streaming_windows(snapshot_dir, mixture_wav, tmp_path):
     path, n, _ = mixture_wav
     out = str(tmp_path / "out_stream")
-    cli_main(["-p", snapshot_dir, "-i", path, "-d", "a test tone",
+    cli_main(["--allow-random-towers",  # hermetic random snapshot
+              "-p", snapshot_dir, "-i", path, "-d", "a test tone",
               "-o", out, "--window-s", "0.03", "--batch-windows", "2"])
     tgt, _ = load_audio(out + "/target.wav")
     res, _ = load_audio(out + "/residual.wav")

@@ -80,7 +80,7 @@ def main():
     wav_path = os.path.join(tmp, "in.wav")
     write_wav(wav_path, wav, 44100)
 
-    model = SAMAudio.from_pretrained(tmp)
+    model = SAMAudio.from_pretrained(tmp, allow_random_towers=True)
     processor = SAMAudioProcessor.from_pretrained(tmp)
 
     batch = processor(
