@@ -564,8 +564,15 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
     # JSON line is never at risk.
     budget_s = float(os.environ.get("SAM_AUDIO_BENCH_BUDGET_S", 780.0))
     deadline = _t_start + budget_s
+    # Allowances are sized for a COLD relay compile (~250-300 s for a full
+    # generation program). When the headline compile came back warm (the
+    # relay caches compiles server-side within a round), the extras' compiles
+    # will be warm too — scale the allowances by the measured headline
+    # compile so a warm run fits every extra inside the budget.
+    compile_scale = min(1.0, max(0.4, compile_time / 250.0))
 
     def _extra(name, allowance_s, fn):
+        allowance_s *= compile_scale
         if time.time() > deadline - allowance_s:
             print(f"{name} extra skipped: < {allowance_s:.0f}s of budget left",
                   file=sys.stderr)
@@ -730,10 +737,13 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
               f"SNR {snr:.2f} dB vs exact (same noise)", file=sys.stderr)
 
     if run_extras:
-        _extra("k=1", 250.0, _k1_extra)
+        # Order by VERDICT-r3 priority: the secondary on-device scorer and
+        # the exact-visual probe must make the driver artifact; k=1 and the
+        # int8 accuracy probe follow (k=1 was already evidenced in r3).
         _extra("judge", 350.0, _judge_extra)
         _extra("visual", 400.0, _visual_extra)
-        _extra("int8-probe", 350.0, _int8_probe)
+        _extra("k=1", 250.0, _k1_extra)
+        _extra("int8-probe", 250.0, _int8_probe)
     print(json.dumps({
         "metric": "audio_sec_per_sec_per_chip",
         "value": round(throughput, 3),

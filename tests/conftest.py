@@ -22,3 +22,21 @@ import jax  # noqa: E402
 # override post-import so unit tests run on the 8-device virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+if os.environ.get("SAM_AUDIO_RSS_LOG"):
+    # Diagnostic mode: append per-test peak RSS so late-suite XLA-compile
+    # crashes can be correlated with process memory growth.
+    import pytest
+
+    def _rss_kb():
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1])
+        return -1
+
+    @pytest.hookimpl(hookwrapper=True)
+    def pytest_runtest_call(item):
+        yield
+        with open(os.environ["SAM_AUDIO_RSS_LOG"], "a") as f:
+            f.write(f"{_rss_kb()}\t{item.nodeid}\n")
