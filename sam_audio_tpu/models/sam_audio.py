@@ -497,6 +497,15 @@ class SAMAudio:
         k = int(reranking_candidates)
         cfg = self.cfg
 
+        # Long-lived processes that keep compiling new shape buckets
+        # accumulate LLVM-JIT memory maps per executable (CPU backend);
+        # crossing vm.max_map_count makes the NEXT compile segfault inside
+        # XLA. Clearing the jit caches ahead of that cliff trades one
+        # recompile for the crash (no-op until ~75% of the kernel limit).
+        from sam_audio_tpu.utils.map_guard import maybe_clear_caches
+
+        maybe_clear_caches()
+
         audios = jnp.asarray(batch.audios, jnp.float32)
         b = audios.shape[0]
         t_frames = int(batch.anchor_alignment.shape[-1])

@@ -23,6 +23,21 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Guard against memory-map exhaustion: XLA's CPU backend JIT-loads every
+# compiled program via LLVM ORC, whose code/data mmaps stay mapped for the
+# executable's lifetime. Across ~290 tests this grows past the kernel's
+# vm.max_map_count (65530 default) and the FIRST compile past the limit
+# segfaults inside backend_compile_and_load (observed deterministically at
+# test_streaming_with_masked_video_windows, ~272 tests in; the same test
+# passes in isolation because a fresh process has ~5k maps). Clearing the
+# JAX compilation caches releases the mappings; tests transparently
+# recompile. See sam_audio_tpu/utils/map_guard.py.
+def pytest_runtest_teardown(item, nextitem):
+    from sam_audio_tpu.utils.map_guard import maybe_clear_caches
+
+    maybe_clear_caches()
+
+
 if os.environ.get("SAM_AUDIO_RSS_LOG"):
     # Diagnostic mode: append per-test peak RSS so late-suite XLA-compile
     # crashes can be correlated with process memory growth.
