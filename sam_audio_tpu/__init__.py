@@ -40,6 +40,16 @@ def __getattr__(name):
         from sam_audio_tpu.models.judge import SAMAudioJudgeModel
 
         return SAMAudioJudgeModel
+    # lazy: serving entry points (offline pipeline, online batcher/server)
+    if name in ("SeparationPipeline", "SeparationRequest",
+                "SeparationResponse"):
+        import sam_audio_tpu.serving as _serving
+
+        return getattr(_serving, name)
+    if name in ("ContinuousBatcher", "SeparationServer"):
+        import sam_audio_tpu.server as _server
+
+        return getattr(_server, name)
     raise AttributeError(name)
 
 __version__ = "0.1.0"
