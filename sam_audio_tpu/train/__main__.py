@@ -1,0 +1,248 @@
+"""Training CLI: flow-matching fine-tuning / pretraining driver.
+
+  python -m sam_audio_tpu.train --records <dir> --model <snapshot> \
+      --batch-size 8 --epochs 1 --ckpt-dir ckpts [--tp 4] [--ema 0.999]
+
+The reference ships inference only (SURVEY.md section 0); this driver
+completes the training subsystem as a turnkey loop: sharded record
+streaming (train/records.py) -> host batching + on-device featurization
+(train/data.py) -> jitted rectified-flow step with frozen codec/T5 towers
+(train/flow_matching.py) -> rolling orbax checkpoints with retention
+(train/checkpoints.py). Multi-chip: --dp/--tp build a mesh (params sharded
+by the Megatron rules in parallel/mesh.py, batches over dp); multi-host
+runs shard the record shards by jax.process_index, matching eval/main.py's
+data-parallel scheme.
+
+Hermetic smoke (no data, random init):
+  python -m sam_audio_tpu.train --synthetic 8 --random-init --batch-size 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="python -m sam_audio_tpu.train", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
+    src = ap.add_argument_group("data")
+    src.add_argument("--records", help="ShardWriter directory (index.json)")
+    src.add_argument("--synthetic", type=int, default=0, metavar="N",
+                     help="train on N random batches (smoke tests)")
+    src.add_argument("--batch-size", type=int, default=8)
+    src.add_argument("--epochs", type=int, default=1)
+    src.add_argument("--max-steps", type=int, default=0,
+                     help="stop after this many optimizer steps (0 = off)")
+    src.add_argument("--bucket-seconds", type=float, default=2.0,
+                     help="length-bucket granularity (compile-shape control)")
+    src.add_argument("--prefetch", type=int, default=2)
+    src.add_argument("--seed", type=int, default=0)
+
+    mdl = ap.add_argument_group("model")
+    mdl.add_argument("--model", "-p", help="snapshot dir or HF repo id")
+    mdl.add_argument("--random-init", action="store_true",
+                     help="random-init the model (pretraining / smoke)")
+    mdl.add_argument("--config", help="config.json for --random-init "
+                                      "(default: flagship-shaped defaults)")
+    mdl.add_argument("--train-towers", action="store_true",
+                     help="also train the codec/T5 towers (default: frozen, "
+                          "matching the reference's tower policy)")
+
+    opt = ap.add_argument_group("optimizer")
+    opt.add_argument("--lr", type=float, default=1e-4)
+    opt.add_argument("--weight-decay", type=float, default=0.01)
+    opt.add_argument("--grad-clip", type=float, default=1.0)
+    opt.add_argument("--lr-schedule", default="constant",
+                     choices=("constant", "cosine", "linear"))
+    opt.add_argument("--warmup-steps", type=int, default=0)
+    opt.add_argument("--total-steps", type=int, default=0,
+                     help="decay horizon for cosine/linear (default: "
+                          "max-steps or epochs*len(data)/batch)")
+    opt.add_argument("--final-lr-ratio", type=float, default=0.0)
+    opt.add_argument("--ema", type=float, default=0.0, metavar="DECAY")
+    opt.add_argument("--accum-steps", type=int, default=1)
+
+    par = ap.add_argument_group("parallelism")
+    par.add_argument("--dp", type=int, default=0,
+                     help="data-parallel mesh size (0 = devices//tp)")
+    par.add_argument("--tp", type=int, default=1,
+                     help="tensor-parallel mesh size")
+    par.add_argument("--coordinator", metavar="HOST:PORT",
+                     help="multi-host: jax.distributed coordinator address "
+                          "(on TPU pods with auto-detection, omit all three)")
+    par.add_argument("--num-processes", type=int, default=0)
+    par.add_argument("--process-id", type=int, default=-1)
+
+    ck = ap.add_argument_group("checkpoints")
+    ck.add_argument("--ckpt-dir", help="rolling TrainState checkpoints")
+    ck.add_argument("--save-every", type=int, default=500)
+    ck.add_argument("--max-to-keep", type=int, default=3)
+    ck.add_argument("--keep-period", type=int, default=0,
+                    help="additionally keep every Nth step forever")
+    ck.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint before training")
+
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--allow-random-towers", action="store_true",
+                    help="tests only: permit byte-fallback tokenizer etc.")
+    return ap
+
+
+def _load_model(args):
+    import jax
+
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+
+    if args.random_init:
+        from sam_audio_tpu.config import SAMAudioConfig
+
+        cfg = (SAMAudioConfig.from_json(args.config) if args.config
+               else SAMAudioConfig())
+        return SAMAudio.init_random(jax.random.PRNGKey(args.seed), cfg)
+    if not args.model:
+        raise SystemExit("one of --model or --random-init is required")
+    return SAMAudio.from_pretrained(
+        args.model, allow_random_towers=args.allow_random_towers)
+
+
+def _open_records(args):
+    """Returns (dataset, steps_per_epoch_estimate) for --records."""
+    import jax
+
+    from sam_audio_tpu.train.records import ShardedRecordDataset
+
+    ds = ShardedRecordDataset(
+        args.records,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+        seed=args.seed,
+    )
+    per_epoch = max(len(ds) // (args.batch_size * jax.process_count()), 1)
+    return ds, per_epoch
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    if not args.records and not args.synthetic:
+        raise SystemExit("one of --records or --synthetic is required")
+
+    import jax
+
+    if args.coordinator:
+        # multi-host: same scheme as tests/test_multiprocess_allgather.py;
+        # record shards are read disjointly per process (records.py).
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_processes,
+                                   process_id=args.process_id)
+
+    from sam_audio_tpu.train.flow_matching import (DEFAULT_FROZEN_PREFIXES,
+                                                   Trainer, synthetic_batch)
+
+    model = _load_model(args)
+    cfg = model.cfg
+
+    mesh = None
+    if args.tp > 1 or args.dp > 1:
+        from sam_audio_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=args.dp or None, tp=args.tp)
+        print(f"mesh: dp={mesh.shape['dp']} tp={mesh.shape['tp']}",
+              file=sys.stderr)
+
+    # Decay horizon for schedules, before the Trainer builds the optimizer.
+    total_steps = args.total_steps or args.max_steps
+    if not total_steps and args.records:
+        _, per_epoch = _open_records(args)
+        total_steps = per_epoch * args.epochs
+    if not total_steps:
+        total_steps = args.synthetic * args.epochs
+
+    trainable_filter = None
+    if args.train_towers:
+        trainable_filter = lambda path: True  # noqa: E731
+
+    trainer = Trainer(
+        cfg, model.params, mesh=mesh,
+        learning_rate=args.lr, weight_decay=args.weight_decay,
+        grad_clip=args.grad_clip, trainable_filter=trainable_filter,
+        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+        total_steps=total_steps, final_lr_ratio=args.final_lr_ratio,
+        ema_decay=args.ema, accum_steps=args.accum_steps,
+    )
+    del model.params  # the Trainer owns (and donates) the buffers now
+
+    mgr = None
+    if args.ckpt_dir:
+        from sam_audio_tpu.train.checkpoints import TrainCheckpointManager
+
+        mgr = TrainCheckpointManager(
+            args.ckpt_dir, max_to_keep=args.max_to_keep,
+            keep_period=args.keep_period or None,
+            save_interval_steps=args.save_every,
+        )
+        if args.resume and mgr.latest_step() is not None:
+            trainer.state = mgr.restore(trainer.state)
+            print(f"resumed from step {int(trainer.state.step)}",
+                  file=sys.stderr)
+
+    frozen = () if args.train_towers else DEFAULT_FROZEN_PREFIXES
+    print(f"training starts: total_steps~{total_steps} "
+          f"batch={args.batch_size} frozen={list(frozen)}", file=sys.stderr)
+
+    rng = jax.random.PRNGKey(args.seed + 17)
+
+    def batches():
+        nonlocal rng
+        if args.synthetic:
+            for _ in range(args.epochs):
+                for _ in range(args.synthetic):
+                    rng, k = jax.random.split(rng)
+                    yield synthetic_batch(cfg, k,
+                                          batch_size=args.batch_size)
+            return
+        from sam_audio_tpu.train.data import FlowMatchingDataPipeline
+        from sam_audio_tpu.train.records import iter_batches
+
+        pipeline = FlowMatchingDataPipeline(
+            cfg, trainer.state.params, model.tokenizer,
+            bucket_seconds=args.bucket_seconds)
+        ds, _ = _open_records(args)
+        for epoch in range(args.epochs):
+            yield from iter_batches(ds.epoch(epoch), pipeline,
+                                    args.batch_size,
+                                    prefetch=args.prefetch)
+
+    t0 = time.time()
+    n = 0
+    try:
+        for batch in batches():
+            rng, step_rng = jax.random.split(rng)
+            metrics = trainer.step(batch, step_rng)
+            n += 1
+            step = int(trainer.state.step)
+            if args.log_every and n % args.log_every == 1:
+                loss = float(metrics["loss"])
+                gn = float(metrics["grad_norm"])
+                rate = n / (time.time() - t0)
+                print(f"step {step}: loss={loss:.4f} grad_norm={gn:.3f} "
+                      f"({rate:.2f} steps/s)", file=sys.stderr)
+            if mgr is not None:
+                mgr.save(trainer.state)
+            if args.max_steps and step >= args.max_steps:
+                break
+    finally:
+        if mgr is not None:
+            mgr.save(trainer.state, force=True)
+            mgr.wait_until_finished()
+            mgr.close()
+
+    print(f"done: {n} steps in {time.time() - t0:.1f}s "
+          f"(final step {int(trainer.state.step)})", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

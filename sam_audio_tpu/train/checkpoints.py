@@ -56,8 +56,11 @@ class TrainCheckpointManager:
 
     def save(self, state: TrainState, force: bool = False) -> bool:
         """Save at state.step (subject to save_interval_steps unless forced).
-        Returns True if a checkpoint was written."""
+        Returns True if a checkpoint was written. Idempotent: a step already
+        on disk is skipped even under force (orbax raises otherwise)."""
         step = int(state.step)
+        if step in self._mgr.all_steps():
+            return False
         saved = self._mgr.save(
             step,
             args=self._ocp.args.StandardSave(state._asdict()),

@@ -1,0 +1,101 @@
+"""End-to-end tests of the training CLI (python -m sam_audio_tpu.train).
+
+The reference ships no training code (SURVEY.md section 0); the CLI is the
+turnkey driver over train/{records,data,flow_matching,checkpoints}. These
+tests run it hermetically in-process: random-init tiny model, synthetic or
+on-disk record batches, rolling checkpoints, resume, and a dp mesh.
+"""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from sam_audio_tpu.config import tiny_test_config
+from sam_audio_tpu.train.__main__ import main as train_main
+
+
+@pytest.fixture(scope="module")
+def tiny_config_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("traincli") / "config.json"
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(tiny_test_config()), f)
+    return str(path)
+
+
+def test_synthetic_smoke_with_checkpoints_and_resume(tiny_config_path,
+                                                     tmp_path):
+    ckpt = str(tmp_path / "ckpts")
+    rc = train_main([
+        "--synthetic", "3", "--random-init", "--config", tiny_config_path,
+        "--batch-size", "2", "--ckpt-dir", ckpt, "--save-every", "1",
+        "--max-to-keep", "2", "--log-every", "1",
+    ])
+    assert rc == 0
+
+    from sam_audio_tpu.train.checkpoints import TrainCheckpointManager
+
+    with TrainCheckpointManager(ckpt) as mgr:
+        assert mgr.latest_step() == 3
+        assert len(mgr.all_steps()) <= 2  # retention pruned
+
+    # resume: picks up at step 3 and advances to 5
+    rc = train_main([
+        "--synthetic", "2", "--random-init", "--config", tiny_config_path,
+        "--batch-size", "2", "--ckpt-dir", ckpt, "--save-every", "1",
+        "--resume",
+    ])
+    assert rc == 0
+    with TrainCheckpointManager(ckpt) as mgr:
+        assert mgr.latest_step() == 5
+
+
+def test_synthetic_optimizer_flags(tiny_config_path):
+    rc = train_main([
+        "--synthetic", "2", "--random-init", "--config", tiny_config_path,
+        "--batch-size", "2", "--ema", "0.9", "--lr-schedule", "cosine",
+        "--warmup-steps", "1", "--accum-steps", "2", "--log-every", "0",
+    ])
+    assert rc == 0
+
+
+def test_synthetic_dp_mesh(tiny_config_path):
+    rc = train_main([
+        "--synthetic", "2", "--random-init", "--config", tiny_config_path,
+        "--batch-size", "4", "--dp", "2", "--log-every", "0",
+    ])
+    assert rc == 0
+
+
+def test_records_end_to_end(tiny_config_path, tmp_path):
+    from sam_audio_tpu.train.data import TrainExample
+    from sam_audio_tpu.train.records import write_shards
+
+    rng = np.random.RandomState(0)
+    n_samples = 400  # 50 latent frames at hop 8 (tiny codec)
+    examples = []
+    for i in range(6):
+        tgt = rng.randn(n_samples).astype(np.float32) * 0.1
+        res = rng.randn(n_samples).astype(np.float32) * 0.1
+        examples.append(TrainExample(
+            mixture=tgt + res, target=tgt, residual=res,
+            description=f"source {i}",
+            anchors=[("+", 0.0, 0.01)] if i % 2 else None,
+        ))
+    records = str(tmp_path / "records")
+    write_shards(examples, records, shard_size=4)
+
+    rc = train_main([
+        "--records", records, "--random-init", "--config", tiny_config_path,
+        "--batch-size", "2", "--epochs", "1", "--max-steps", "2",
+        "--bucket-seconds", "0.05", "--log-every", "0",
+    ])
+    assert rc == 0
+
+
+def test_requires_data_and_model(tiny_config_path):
+    with pytest.raises(SystemExit):
+        train_main(["--random-init", "--config", tiny_config_path])
+    with pytest.raises(SystemExit):
+        train_main(["--synthetic", "1"])
