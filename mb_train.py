@@ -11,7 +11,10 @@ fwd 2N·tok + bwd 4N·tok + remat re-forward 2N·tok = 8N·tok (matmul-only,
 attention excluded — so reported MFU is an overestimate of the matmul
 bound by the attention share, a few %).
 
-Run: python mb_train.py [batch_size]   (from /root/repo; TPU via axon)
+Run: python mb_train.py [batch_size] [remat]   (from /root/repo; TPU via axon)
+`remat`: full (default) | dots — "dots" saves matmul outputs in the forward
+pass so the backward replays only elementwise/attention work (6N·tok matmul
+FLOPs instead of 8N·tok, at higher HBM).
 """
 
 import json
@@ -33,6 +36,7 @@ V5E_BF16_PEAK = 197e12
 
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    remat = sys.argv[2] if len(sys.argv) > 2 else "full"
     t_frames = 250  # 10 s at 25 latent fps
     print(f"devices: {jax.devices()}", file=sys.stderr)
     cfg = SAMAudioConfig(span_predictor=None, compute_dtype="bfloat16",
@@ -45,7 +49,7 @@ def main():
     print(f"init {total/1e9:.2f}B params ({trainable/1e9:.2f}B trainable) "
           f"in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    trainer = Trainer(cfg, params, ema_decay=0.999)
+    trainer = Trainer(cfg, params, ema_decay=0.999, remat=remat)
     rng = jax.random.PRNGKey(1)
     batch = synthetic_batch(cfg, rng, batch_size=b, t_frames=t_frames,
                             text_len=16)
@@ -65,11 +69,13 @@ def main():
     p50 = sorted(times)[len(times) // 2]
 
     tok = b * t_frames
-    flops = 8.0 * trainable * tok
+    # full remat re-runs the forward matmuls in the backward (8N·tok);
+    # "dots" saves their outputs, so only fwd+bwd matmuls remain (6N·tok).
+    flops = (6.0 if remat == "dots" else 8.0) * trainable * tok
     mfu = flops / p50 / V5E_BF16_PEAK
     clips_per_s = b / p50
     out = {
-        "batch": b, "t_frames": t_frames,
+        "batch": b, "t_frames": t_frames, "remat": remat,
         "trainable_params_b": round(trainable / 1e9, 3),
         "step_p50_ms": round(p50 * 1e3, 1),
         "clips10s_per_s": round(clips_per_s, 2),

@@ -335,9 +335,12 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
 
     Returns (B, T, out_channels). Reference: sam_audio/model/transformer.py:473-524.
     `remat=True` rematerializes each layer in the backward pass (training
-    memory ~ one layer's activations instead of n_layers). `dropout_rng`
-    enables training dropout at the reference's sites (post-stem, FFN
-    hidden, pre-output; rate cfg.dropout).
+    memory ~ one layer's activations instead of n_layers); `remat="dots"`
+    additionally SAVES every non-batched matmul output (qkv/out/ffn
+    projections) so the re-forward replays only elementwise/attention work —
+    fewer backward FLOPs for ~one layer's dot outputs of extra HBM per layer.
+    `dropout_rng` enables training dropout at the reference's sites
+    (post-stem, FFN hidden, pre-output; rate cfg.dropout).
     """
     h, t, t0, y, rope_tables, layer_rngs, out_rng = dit_prepare(
         params, x, time, cfg=cfg, memory=memory, compute_dtype=compute_dtype,
@@ -356,7 +359,13 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
         return out, None
 
     if remat:
-        scan_body = jax.checkpoint(scan_body)
+        if remat == "dots":
+            policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        elif remat is True or remat == "full":
+            policy = None
+        else:
+            raise ValueError(f"unknown remat policy {remat!r}")
+        scan_body = jax.checkpoint(scan_body, policy=policy)
     xs = (params["layers"], layer_rngs) if with_dropout else params["layers"]
     h, _ = jax.lax.scan(scan_body, h, xs)
 

@@ -64,6 +64,10 @@ def build_argparser() -> argparse.ArgumentParser:
     opt.add_argument("--final-lr-ratio", type=float, default=0.0)
     opt.add_argument("--ema", type=float, default=0.0, metavar="DECAY")
     opt.add_argument("--accum-steps", type=int, default=1)
+    opt.add_argument("--remat", default="full", choices=("full", "dots"),
+                     help="backward-pass rematerialization: 'full' = O(1-"
+                          "layer) activation memory; 'dots' = save matmul "
+                          "outputs (fewer backward FLOPs, more HBM)")
 
     par = ap.add_argument_group("parallelism")
     par.add_argument("--dp", type=int, default=0,
@@ -84,6 +88,10 @@ def build_argparser() -> argparse.ArgumentParser:
                     help="additionally keep every Nth step forever")
     ck.add_argument("--resume", action="store_true",
                     help="restore the latest checkpoint before training")
+    ck.add_argument("--export-dir", metavar="DIR",
+                    help="after training, write a serving snapshot "
+                         "(config.json + params.npz; EMA weights if --ema) "
+                         "loadable by SAMAudio.from_pretrained")
 
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--allow-random-towers", action="store_true",
@@ -171,6 +179,7 @@ def main(argv=None) -> int:
         lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
         total_steps=total_steps, final_lr_ratio=args.final_lr_ratio,
         ema_decay=args.ema, accum_steps=args.accum_steps,
+        remat=args.remat,
     )
     del model.params  # the Trainer owns (and donates) the buffers now
 
@@ -238,6 +247,13 @@ def main(argv=None) -> int:
             mgr.save(trainer.state, force=True)
             mgr.wait_until_finished()
             mgr.close()
+
+    if args.export_dir:
+        from sam_audio_tpu.train.export import export_snapshot
+
+        export_snapshot(cfg, trainer.ema_inference_params(), args.export_dir)
+        print(f"exported serving snapshot to {args.export_dir}",
+              file=sys.stderr)
 
     print(f"done: {n} steps in {time.time() - t0:.1f}s "
           f"(final step {int(trainer.state.step)})", file=sys.stderr)

@@ -27,8 +27,11 @@ from sam_audio_tpu.models.sam_audio import forward
 
 
 def flow_matching_loss(params, cfg: SAMAudioConfig, batch: Dict[str, Any],
-                       rng: jax.Array) -> jnp.ndarray:
-    """batch keys:
+                       rng: jax.Array, remat="full") -> jnp.ndarray:
+    """`remat`: "full" (O(1-layer) activation memory) or "dots" (save matmul
+    outputs; fewer backward FLOPs, more HBM — see models/dit.dit_apply).
+
+    batch keys:
       audio_features (B,T,2C) conditioning (stacked mixture latents),
       target_latents (B,T,2C) = [target || residual] latents,
       text_features (B,L,text_dim), text_mask (B,L),
@@ -55,7 +58,7 @@ def flow_matching_loss(params, cfg: SAMAudioConfig, batch: Dict[str, Any],
         anchor_alignment=batch["anchor_alignment"],
         audio_pad_mask=batch["audio_pad_mask"],
         compute_dtype=jnp.dtype(cfg.compute_dtype),
-        remat=True,  # O(1-layer) activation memory in the backward pass
+        remat=remat,
         dropout_rng=d_rng if cfg.transformer.dropout > 0 else None,
     ).astype(jnp.float32)
 
@@ -107,7 +110,8 @@ def _path_str(path) -> str:
 
 
 def make_train_step(cfg: SAMAudioConfig, optimizer: optax.GradientTransformation,
-                    trainable_filter=None, ema_decay: float = 0.0):
+                    trainable_filter=None, ema_decay: float = 0.0,
+                    remat="full"):
     """Returns train_step(state, batch, rng) -> (state, metrics). Pure —
     compose with jit/pjit at the call site.
 
@@ -140,7 +144,7 @@ def make_train_step(cfg: SAMAudioConfig, optimizer: optax.GradientTransformation
 
     def train_step(state: TrainState, batch, rng):
         def loss_fn(params):
-            return flow_matching_loss(params, cfg, batch, rng)
+            return flow_matching_loss(params, cfg, batch, rng, remat=remat)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         grads = mask_grads(grads)
@@ -170,7 +174,8 @@ class Trainer:
                  grad_clip: float = 1.0, trainable_filter=None,
                  lr_schedule: str = "constant", warmup_steps: int = 0,
                  total_steps: int = 0, final_lr_ratio: float = 0.0,
-                 ema_decay: float = 0.0, accum_steps: int = 1):
+                 ema_decay: float = 0.0, accum_steps: int = 1,
+                 remat="full"):
         self.cfg = cfg
         self.mesh = mesh
         self.ema_decay = ema_decay
@@ -203,7 +208,7 @@ class Trainer:
             self.optimizer = optax.MultiSteps(
                 self.optimizer, every_k_schedule=accum_steps)
         step_fn = make_train_step(cfg, self.optimizer, trainable_filter,
-                                  ema_decay)
+                                  ema_decay, remat=remat)
 
         if mesh is not None:
             from sam_audio_tpu.parallel.mesh import shard_batch, shard_params

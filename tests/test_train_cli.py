@@ -99,3 +99,33 @@ def test_requires_data_and_model(tiny_config_path):
         train_main(["--random-init", "--config", tiny_config_path])
     with pytest.raises(SystemExit):
         train_main(["--synthetic", "1"])
+
+
+def test_export_serving_snapshot(tiny_config_path, tmp_path):
+    """Train -> --export-dir -> SAMAudio.from_pretrained: the exported
+    snapshot must serve through the standard loading path with the EMA
+    weights that training produced."""
+    import jax
+    import jax.numpy as jnp
+
+    out = str(tmp_path / "snapshot")
+    rc = train_main([
+        "--synthetic", "2", "--random-init", "--config", tiny_config_path,
+        "--batch-size", "2", "--ema", "0.9", "--export-dir", out,
+        "--log-every", "0",
+    ])
+    assert rc == 0
+
+    from sam_audio_tpu.models.sam_audio import SAMAudio, forward
+    from sam_audio_tpu.train.flow_matching import synthetic_batch
+
+    model = SAMAudio.from_pretrained(out, allow_random_towers=True)
+    b = synthetic_batch(model.cfg, jax.random.PRNGKey(5), batch_size=1,
+                        t_frames=8)
+    v = forward(model.params, model.cfg, b["target_latents"],
+                b["audio_features"], b["text_features"],
+                jnp.full((1,), 0.5), text_mask=b["text_mask"],
+                anchor_ids=b["anchor_ids"],
+                anchor_alignment=b["anchor_alignment"],
+                audio_pad_mask=b["audio_pad_mask"])
+    assert v.shape[0] == 1 and bool(jnp.all(jnp.isfinite(v)))

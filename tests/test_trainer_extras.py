@@ -155,3 +155,35 @@ def test_grad_accumulation_matches_full_batch_step():
         np.asarray(wq_mid["weight"]),
         np.asarray(params["transformer"]["layers"]["attention"]["wq"]["weight"]),
     )
+
+
+def test_remat_dots_policy_matches_full():
+    """remat='dots' changes WHAT the backward saves, never the math: one
+    step from identical init with identical rng must produce identical
+    losses and (numerically) identical updated params vs remat='full'."""
+    import pytest
+
+    params = sam_audio_init(jax.random.PRNGKey(0), CFG)
+    batch = synthetic_batch(CFG, jax.random.PRNGKey(1), batch_size=2,
+                            t_frames=8)
+    rng = jax.random.PRNGKey(2)
+
+    t_full = Trainer(CFG, jax.tree_util.tree_map(jnp.copy, params),
+                     learning_rate=1e-3, remat="full")
+    t_dots = Trainer(CFG, jax.tree_util.tree_map(jnp.copy, params),
+                     learning_rate=1e-3, remat="dots")
+    m_full = t_full.step(batch, rng)
+    m_dots = t_dots.step(batch, rng)
+    np.testing.assert_allclose(float(m_full["loss"]), float(m_dots["loss"]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(m_full["grad_norm"]),
+                               float(m_dots["grad_norm"]), rtol=1e-4)
+    wq_f = t_full.state.params["transformer"]["layers"]["attention"]["wq"]
+    wq_d = t_dots.state.params["transformer"]["layers"]["attention"]["wq"]
+    np.testing.assert_allclose(np.asarray(wq_d["weight"]),
+                               np.asarray(wq_f["weight"]),
+                               rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="remat policy"):
+        Trainer(CFG, jax.tree_util.tree_map(jnp.copy, params),
+                remat="bogus").step(batch, rng)
