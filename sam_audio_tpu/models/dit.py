@@ -19,6 +19,8 @@ TPU-first design choices:
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -330,7 +332,7 @@ def dit_finalize(params, h, t, *, cfg: TransformerConfig, compute_dtype=None,
 
 def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
               memory=None, memory_padding_mask=None, compute_dtype=None,
-              remat: bool = False, dropout_rng=None):
+              remat: bool = False, dropout_rng=None, unroll: int | None = None):
     """x: (B, T, in_channels or dim); time: (B,); memory: (B, L, context_dim).
 
     Returns (B, T, out_channels). Reference: sam_audio/model/transformer.py:473-524.
@@ -341,7 +343,12 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
     fewer backward FLOPs for ~one layer's dot outputs of extra HBM per layer.
     `dropout_rng` enables training dropout at the reference's sites
     (post-stem, FFN hidden, pre-output; rate cfg.dropout).
+    `unroll` unrolls the layer scan (XLA can then overlap one layer's
+    VPU/HBM glue with the next layer's matmuls); None reads
+    SAM_AUDIO_SCAN_UNROLL (default 1). n_layers must divide by it.
     """
+    if unroll is None:
+        unroll = int(os.environ.get("SAM_AUDIO_SCAN_UNROLL", "1"))
     h, t, t0, y, rope_tables, layer_rngs, out_rng = dit_prepare(
         params, x, time, cfg=cfg, memory=memory, compute_dtype=compute_dtype,
         dropout_rng=dropout_rng,
@@ -367,7 +374,7 @@ def dit_apply(params, x, time, *, cfg: TransformerConfig, padding_mask=None,
             raise ValueError(f"unknown remat policy {remat!r}")
         scan_body = jax.checkpoint(scan_body, policy=policy)
     xs = (params["layers"], layer_rngs) if with_dropout else params["layers"]
-    h, _ = jax.lax.scan(scan_body, h, xs)
+    h, _ = jax.lax.scan(scan_body, h, xs, unroll=unroll)
 
     return dit_finalize(params, h, t, cfg=cfg, compute_dtype=compute_dtype,
                         out_rng=out_rng)

@@ -125,3 +125,20 @@ def test_scan_over_layers_matches_python_loop():
 
     np.testing.assert_allclose(np.asarray(out_scan), np.asarray(out_manual),
                                rtol=1e-5, atol=1e-5)
+
+def test_layer_scan_unroll_is_exact(monkeypatch):
+    """`unroll` only changes XLA scheduling freedom, never results — both the
+    explicit argument and the SAM_AUDIO_SCAN_UNROLL env default."""
+    params = dit_init(jax.random.PRNGKey(0), CFG)
+    x, time, memory, pad, mem = _inputs()
+    base = dit_apply(params, x, time, cfg=CFG, padding_mask=pad,
+                     memory=memory, memory_padding_mask=mem)
+    for unroll in (2, 3):  # non-divisor and full unroll of n_layers=3
+        out = dit_apply(params, x, time, cfg=CFG, padding_mask=pad,
+                        memory=memory, memory_padding_mask=mem,
+                        unroll=unroll)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
+    monkeypatch.setenv("SAM_AUDIO_SCAN_UNROLL", "2")
+    out = dit_apply(params, x, time, cfg=CFG, padding_mask=pad,
+                    memory=memory, memory_padding_mask=mem)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(out))
