@@ -69,6 +69,21 @@ def build_argparser() -> argparse.ArgumentParser:
                           "layer) activation memory; 'dots' = save matmul "
                           "outputs (fewer backward FLOPs, more HBM)")
 
+    lora = ap.add_argument_group("lora")
+    lora.add_argument("--lora-rank", type=int, default=0, metavar="R",
+                      help="train LoRA adapters of rank R instead of full "
+                           "fine-tuning (base weights frozen; optimizer "
+                           "state shrinks to the adapter factors)")
+    lora.add_argument("--lora-alpha", type=float, default=None,
+                      help="LoRA scaling numerator (default: rank)")
+    lora.add_argument("--lora-targets", default="attention",
+                      choices=("attention", "attention+ffn"),
+                      help="which weights get adapters")
+    lora.add_argument("--lora-out", metavar="FILE.npz",
+                      help="write the trained adapters (EMA if --ema) as a "
+                           "standalone npz loadable by "
+                           "train.lora.merge_lora_checkpoint")
+
     par = ap.add_argument_group("parallelism")
     par.add_argument("--dp", type=int, default=0,
                      help="data-parallel mesh size (0 = devices//tp)")
@@ -172,15 +187,31 @@ def main(argv=None) -> int:
     if args.train_towers:
         trainable_filter = lambda path: True  # noqa: E731
 
-    trainer = Trainer(
-        cfg, model.params, mesh=mesh,
-        learning_rate=args.lr, weight_decay=args.weight_decay,
-        grad_clip=args.grad_clip, trainable_filter=trainable_filter,
-        lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
-        total_steps=total_steps, final_lr_ratio=args.final_lr_ratio,
-        ema_decay=args.ema, accum_steps=args.accum_steps,
-        remat=args.remat,
-    )
+    if args.lora_rank > 0:
+        if args.train_towers:
+            raise SystemExit("--lora-rank is incompatible with --train-towers")
+        from sam_audio_tpu.train.lora import LoRATrainer
+
+        trainer = LoRATrainer(
+            cfg, model.params, rank=args.lora_rank, alpha=args.lora_alpha,
+            targets=args.lora_targets, rng=jax.random.PRNGKey(args.seed + 7),
+            mesh=mesh, learning_rate=args.lr,
+            weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+            lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+            total_steps=total_steps, final_lr_ratio=args.final_lr_ratio,
+            ema_decay=args.ema, accum_steps=args.accum_steps,
+            remat=args.remat,
+        )
+    else:
+        trainer = Trainer(
+            cfg, model.params, mesh=mesh,
+            learning_rate=args.lr, weight_decay=args.weight_decay,
+            grad_clip=args.grad_clip, trainable_filter=trainable_filter,
+            lr_schedule=args.lr_schedule, warmup_steps=args.warmup_steps,
+            total_steps=total_steps, final_lr_ratio=args.final_lr_ratio,
+            ema_decay=args.ema, accum_steps=args.accum_steps,
+            remat=args.remat,
+        )
     del model.params  # the Trainer owns (and donates) the buffers now
 
     mgr = None
@@ -215,8 +246,12 @@ def main(argv=None) -> int:
         from sam_audio_tpu.train.data import FlowMatchingDataPipeline
         from sam_audio_tpu.train.records import iter_batches
 
+        # Featurization (codec encode, T5) always uses the frozen base
+        # weights; under LoRA the TrainState holds only the adapters.
+        feat_params = (trainer.base_params if args.lora_rank > 0
+                       else trainer.state.params)
         pipeline = FlowMatchingDataPipeline(
-            cfg, trainer.state.params, model.tokenizer,
+            cfg, feat_params, model.tokenizer,
             bucket_seconds=args.bucket_seconds)
         ds, _ = _open_records(args)
         for epoch in range(args.epochs):
@@ -248,9 +283,17 @@ def main(argv=None) -> int:
             mgr.wait_until_finished()
             mgr.close()
 
+    if args.lora_out:
+        if args.lora_rank <= 0:
+            raise SystemExit("--lora-out requires --lora-rank")
+        trainer.save_adapters(args.lora_out)
+        print(f"wrote LoRA adapters to {args.lora_out}", file=sys.stderr)
+
     if args.export_dir:
         from sam_audio_tpu.train.export import export_snapshot
 
+        # Under LoRA this exports the MERGED weights (base + scaled B@A),
+        # so the snapshot serves at exactly the base model's cost.
         export_snapshot(cfg, trainer.ema_inference_params(), args.export_dir)
         print(f"exported serving snapshot to {args.export_dir}",
               file=sys.stderr)
