@@ -11,10 +11,17 @@ fwd 2N·tok + bwd 4N·tok + remat re-forward 2N·tok = 8N·tok (matmul-only,
 attention excluded — so reported MFU is an overestimate of the matmul
 bound by the attention share, a few %).
 
-Run: python mb_train.py [batch_size] [remat]   (from /root/repo; TPU via axon)
+Run: python mb_train.py [batch_size] [remat] [lora_rank]
+(from /root/repo; TPU via axon)
 `remat`: full (default) | dots — "dots" saves matmul outputs in the forward
 pass so the backward replays only elementwise/attention work (6N·tok matmul
 FLOPs instead of 8N·tok, at higher HBM).
+`lora_rank` > 0 switches to the LoRA trainer (train/lora.py): optimizer/EMA
+state shrinks from the 1.15B trainable params to the adapter factors, which
+frees HBM for batch — the point of this probe is where the per-chip batch
+knee moves. Backward FLOPs stay ~8N·tok (dL/dW is still computed per merged
+weight before contracting to the factors), so MFU is comparable; the win is
+state memory, not step FLOPs.
 """
 
 import json
@@ -37,6 +44,7 @@ V5E_BF16_PEAK = 197e12
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     remat = sys.argv[2] if len(sys.argv) > 2 else "full"
+    lora_rank = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     t_frames = 250  # 10 s at 25 latent fps
     print(f"devices: {jax.devices()}", file=sys.stderr)
     cfg = SAMAudioConfig(span_predictor=None, compute_dtype="bfloat16",
@@ -49,7 +57,17 @@ def main():
     print(f"init {total/1e9:.2f}B params ({trainable/1e9:.2f}B trainable) "
           f"in {time.time()-t0:.1f}s", file=sys.stderr)
 
-    trainer = Trainer(cfg, params, ema_decay=0.999, remat=remat)
+    if lora_rank > 0:
+        from sam_audio_tpu.train.lora import LoRATrainer
+
+        trainer = LoRATrainer(cfg, params, rank=lora_rank, ema_decay=0.999,
+                              remat=remat, rng=jax.random.PRNGKey(7))
+        n_adapter = num_params(trainer.adapters)
+        print(f"lora rank {lora_rank}: {n_adapter/1e6:.1f}M adapter params "
+              f"({n_adapter/trainable*100:.2f}% of trainable)",
+              file=sys.stderr)
+    else:
+        trainer = Trainer(cfg, params, ema_decay=0.999, remat=remat)
     rng = jax.random.PRNGKey(1)
     batch = synthetic_batch(cfg, rng, batch_size=b, t_frames=t_frames,
                             text_len=16)
@@ -76,6 +94,7 @@ def main():
     clips_per_s = b / p50
     out = {
         "batch": b, "t_frames": t_frames, "remat": remat,
+        "lora_rank": lora_rank,
         "trainable_params_b": round(trainable / 1e9, 3),
         "step_p50_ms": round(p50 * 1e3, 1),
         "clips10s_per_s": round(clips_per_s, 2),

@@ -223,8 +223,15 @@ class LoRATrainer:
         opt_state = jax.jit(self.optimizer.init)(adapters)
         ema = None
         if ema_decay > 0.0:
+            # Must be a REAL copy: adapters are already f32, and astype with
+            # an unchanged dtype is an identity no-op — the EMA tree would
+            # alias the live adapters leaf-for-leaf, putting every buffer in
+            # the donated TrainState twice. The TPU runtime rejects that
+            # (INVALID_ARGUMENT on the first step); CPU ignores donation,
+            # which is why only hardware runs caught it.
             ema = jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.float32), adapters)
+                lambda x: jnp.array(x, dtype=jnp.float32, copy=True),
+                adapters)
         self.state = TrainState(adapters, opt_state,
                                 jnp.zeros((), jnp.int32), ema)
         scaling = self.scaling

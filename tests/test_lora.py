@@ -211,3 +211,14 @@ def test_cli_lora_smoke_with_adapter_export(tmp_path):
     # exported snapshot loads through the standard serving path
     model = SAMAudio.from_pretrained(export, allow_random_towers=True)
     assert model.cfg.transformer.n_layers == tiny_test_config().transformer.n_layers
+
+
+def test_initial_state_has_no_aliased_buffers(model):
+    """The train step donates the TrainState; a buffer appearing twice in a
+    donated pytree is an INVALID_ARGUMENT on real TPU backends (CPU ignores
+    donation, so only this identity check catches it hermetically). The EMA
+    tree must be a real copy of the f32 adapters, not an astype no-op."""
+    trainer = LoRATrainer(tiny_test_config(), model.params, rank=2,
+                          ema_decay=0.999, rng=jax.random.PRNGKey(0))
+    leaves = jax.tree_util.tree_leaves(trainer.state)
+    assert len({id(leaf) for leaf in leaves}) == len(leaves)
