@@ -222,9 +222,16 @@ class Trainer:
         ema = None
         if ema_decay > 0.0:
             # f32 EMA of trainable leaves; frozen leaves alias live params
-            ema = jax.jit(lambda p: jax.tree_util.tree_map_with_path(
-                lambda path, x: x.astype(jnp.float32)
-                if trainable_filter(_path_str(path)) else x, p))(params)
+            # (intentional — no extra HBM, and the step writes them back
+            # unchanged). Trainable leaves must be REAL copies: with f32
+            # params, astype(f32) is an identity no-op and a jitted identity
+            # returns the input buffer — the EMA would alias the live
+            # params, and a buffer appearing twice in the donated TrainState
+            # is an INVALID_ARGUMENT on real TPU backends (CPU ignores
+            # donation, so only hardware runs catch it).
+            ema = jax.tree_util.tree_map_with_path(
+                lambda path, x: jnp.array(x, dtype=jnp.float32, copy=True)
+                if trainable_filter(_path_str(path)) else x, params)
         self.state = TrainState(params, opt_state,
                                 jnp.zeros((), jnp.int32), ema)
         # Under jit, output shardings follow inputs; donate state buffers.

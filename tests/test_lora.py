@@ -222,3 +222,26 @@ def test_initial_state_has_no_aliased_buffers(model):
                           ema_decay=0.999, rng=jax.random.PRNGKey(0))
     leaves = jax.tree_util.tree_leaves(trainer.state)
     assert len({id(leaf) for leaf in leaves}) == len(leaves)
+
+
+def test_full_trainer_f32_ema_has_no_aliased_buffers(model):
+    """Same donated-buffer hazard in the full Trainer: with f32 params the
+    EMA's astype(f32) would alias every trainable leaf."""
+    from sam_audio_tpu.train.flow_matching import Trainer
+
+    trainer = Trainer(tiny_test_config(), model.params, ema_decay=0.999)
+    leaves = jax.tree_util.tree_leaves(trainer.state)
+    seen = {}
+    dup_trainable = []
+    for leaf in leaves:
+        if id(leaf) in seen:
+            dup_trainable.append(leaf)
+        seen[id(leaf)] = leaf
+    # frozen-tower leaves intentionally alias between params and EMA (no
+    # extra HBM; written back unchanged) — proven on hardware. No TRAINABLE
+    # leaf may alias: every duplicate must belong to a frozen tower.
+    params, ema = trainer.state.params, trainer.state.ema_params
+    for key in ("transformer",):
+        p_ids = {id(x) for x in jax.tree_util.tree_leaves(params[key])}
+        e_ids = {id(x) for x in jax.tree_util.tree_leaves(ema[key])}
+        assert not (p_ids & e_ids)
