@@ -90,6 +90,16 @@ def main():
     # full remat re-runs the forward matmuls in the backward (8N·tok);
     # "dots" saves their outputs, so only fwd+bwd matmuls remain (6N·tok).
     flops = (6.0 if remat == "dots" else 8.0) * trainable * tok
+    if lora_rank > 0:
+        # LoRA's backward computes dL/dW only for TARGETED weights (JAX AD
+        # skips the dW matmul where no grad is requested): fwd 2N + remat
+        # re-forward 2N + dx backward 2N, plus 2·N_target for the dW term.
+        n_target = sum(
+            int(np.prod(ab["b"].shape[:-1])) * ab["a"].shape[-1]
+            for ab in trainer.adapters.values())
+        flops = (6.0 * trainable + 2.0 * n_target) * tok
+        print(f"targeted weights: {n_target/1e6:.0f}M "
+              f"({n_target/trainable*100:.0f}% of trainable)", file=sys.stderr)
     mfu = flops / p50 / V5E_BF16_PEAK
     clips_per_s = b / p50
     out = {

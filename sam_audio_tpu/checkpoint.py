@@ -825,34 +825,51 @@ def load_sam_audio(model_id_or_path: str, t5_path: Optional[str] = None,
                 jax.random.PRNGKey(0), cfg
             )["text_encoder"]
 
-    # Span predictor: a converted PEAudioFrame checkpoint placed in the
-    # snapshot under span_predictor/ (params.npz + config.json with the
-    # sniffed arch switches) attaches the weight-faithful executor; otherwise
-    # separate(predict_spans=True) requires attaching one explicitly
-    # (reference model.py:96-102 loads "pe-a-frame-large" from its own repo).
+    # Span predictor: a checkpoint placed in the snapshot under
+    # span_predictor/ (params.npz + config.json) attaches automatically.
+    # Two arches dispatch on config.json's "arch" tag: the TPU-native
+    # predictor trained here (train/span.py writes "sam_audio_tpu_span"),
+    # or — untagged — a converted PEAudioFrame checkpoint (the weight-
+    # faithful executor for the reference's "pe-a-frame-large",
+    # reference model.py:96-102). Otherwise separate(predict_spans=True)
+    # requires attaching one explicitly.
     span_predictor = None
     sp_dir = os.path.join(snapshot, "span_predictor")
     if cfg.span_predictor is not None and os.path.exists(
         os.path.join(sp_dir, "params.npz")
     ):
-        from sam_audio_tpu.models.span_predictor import (
-            PEAudioFrameConfig,
-            PEAudioFrameModel,
-        )
-
         import dataclasses
 
         sp_cfg_path = os.path.join(sp_dir, "config.json")
-        sp_kwargs = {}
+        raw = {}
         if os.path.exists(sp_cfg_path):
             with open(sp_cfg_path) as fin:
                 raw = json.load(fin)
+        sp_params = load_params(os.path.join(sp_dir, "params.npz"))
+        if raw.get("arch") == "sam_audio_tpu_span":
+            from sam_audio_tpu.models.span_predictor import (
+                SpanPredictor,
+                SpanPredictorConfig,
+            )
+
+            known = {f.name for f in dataclasses.fields(SpanPredictorConfig)}
+            span_predictor = SpanPredictor(
+                SpanPredictorConfig(
+                    **{k: v for k, v in raw.items() if k in known}),
+                sp_params,
+            )
+        else:
+            from sam_audio_tpu.models.span_predictor import (
+                PEAudioFrameConfig,
+                PEAudioFrameModel,
+            )
+
             known = {f.name for f in dataclasses.fields(PEAudioFrameConfig)}
-            sp_kwargs = {k: v for k, v in raw.items() if k in known}
-        span_predictor = PEAudioFrameModel(
-            PEAudioFrameConfig(**sp_kwargs),
-            load_params(os.path.join(sp_dir, "params.npz")),
-        )
+            span_predictor = PEAudioFrameModel(
+                PEAudioFrameConfig(
+                    **{k: v for k, v in raw.items() if k in known}),
+                sp_params,
+            )
 
     model = SAMAudio(
         cfg, params,

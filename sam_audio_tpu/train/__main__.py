@@ -28,6 +28,11 @@ def build_argparser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="python -m sam_audio_tpu.train", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("--task", default="flow", choices=("flow", "span"),
+                    help="flow = flow-matching separation training; span = "
+                         "train the TPU-native span predictor from the same "
+                         "records (labels derived from target-stem activity; "
+                         "see train/span.py)")
     src = ap.add_argument_group("data")
     src.add_argument("--records", help="ShardWriter directory (index.json)")
     src.add_argument("--synthetic", type=int, default=0, metavar="N",
@@ -83,6 +88,14 @@ def build_argparser() -> argparse.ArgumentParser:
                       help="write the trained adapters (EMA if --ema) as a "
                            "standalone npz loadable by "
                            "train.lora.merge_lora_checkpoint")
+
+    span = ap.add_argument_group("span (--task span)")
+    span.add_argument("--span-hidden", type=int, default=512)
+    span.add_argument("--span-layers", type=int, default=4)
+    span.add_argument("--span-heads", type=int, default=8)
+    span.add_argument("--span-pos-weight", type=float, default=2.0,
+                      help="BCE positive-class weight (active frames are "
+                           "usually the minority)")
 
     par = ap.add_argument_group("parallelism")
     par.add_argument("--dp", type=int, default=0,
@@ -147,6 +160,106 @@ def _open_records(args):
     return ds, per_epoch
 
 
+def _run_span(args, model, total_steps) -> int:
+    """--task span: train the TPU-native span predictor (train/span.py).
+    Labels come from target-stem activity, so the flow-matching records are
+    sufficient; --export-dir writes <dir>/span_predictor/ which
+    SAMAudio.from_pretrained attaches automatically."""
+    import jax
+
+    from sam_audio_tpu.models.span_predictor import SpanPredictorConfig
+    from sam_audio_tpu.train.span import (
+        SpanDataPipeline,
+        SpanTrainer,
+        save_span_predictor,
+        synthetic_span_batch,
+    )
+
+    cfg = model.cfg
+    codec = cfg.audio_codec
+    sp_cfg = SpanPredictorConfig(
+        audio_dim=min(128, codec.codebook_dim),
+        text_dim=cfg.text_encoder.dim,
+        hidden=args.span_hidden, n_layers=args.span_layers,
+        n_heads=args.span_heads,
+        frame_rate=codec.sample_rate / codec.hop_length,
+    )
+    trainer = SpanTrainer(
+        sp_cfg, rng=jax.random.PRNGKey(args.seed + 3),
+        learning_rate=args.lr, weight_decay=args.weight_decay,
+        grad_clip=args.grad_clip, lr_schedule=args.lr_schedule,
+        warmup_steps=args.warmup_steps, total_steps=total_steps,
+        final_lr_ratio=args.final_lr_ratio,
+        pos_weight=args.span_pos_weight,
+    )
+
+    mgr = None
+    if args.ckpt_dir:
+        from sam_audio_tpu.train.checkpoints import TrainCheckpointManager
+
+        mgr = TrainCheckpointManager(
+            args.ckpt_dir, max_to_keep=args.max_to_keep,
+            keep_period=args.keep_period or None,
+            save_interval_steps=args.save_every,
+        )
+        if args.resume and mgr.latest_step() is not None:
+            trainer.state = mgr.restore(trainer.state)
+            print(f"resumed from step {int(trainer.state.step)}",
+                  file=sys.stderr)
+
+    rng = jax.random.PRNGKey(args.seed + 29)
+
+    def batches():
+        nonlocal rng
+        if args.synthetic:
+            for _ in range(args.epochs):
+                for _ in range(args.synthetic):
+                    rng, k = jax.random.split(rng)
+                    yield synthetic_span_batch(cfg, sp_cfg, k,
+                                               batch_size=args.batch_size)
+            return
+        from sam_audio_tpu.train.records import iter_batches
+
+        pipeline = SpanDataPipeline(cfg, model.params, model.tokenizer,
+                                    sp_cfg, bucket_seconds=args.bucket_seconds)
+        ds, _ = _open_records(args)
+        for epoch in range(args.epochs):
+            yield from iter_batches(ds.epoch(epoch), pipeline,
+                                    args.batch_size, prefetch=args.prefetch)
+
+    print(f"span training starts: total_steps~{total_steps} "
+          f"batch={args.batch_size}", file=sys.stderr)
+    t0 = time.time()
+    n = 0
+    try:
+        for batch in batches():
+            rng, step_rng = jax.random.split(rng)
+            metrics = trainer.step(batch, step_rng)
+            n += 1
+            step = int(trainer.state.step)
+            if args.log_every and n % args.log_every == 1:
+                print(f"step {step}: loss={float(metrics['loss']):.4f} "
+                      f"f1={float(metrics['frame_f1']):.3f}", file=sys.stderr)
+            if mgr is not None:
+                mgr.save(trainer.state)
+            if args.max_steps and step >= args.max_steps:
+                break
+    finally:
+        if mgr is not None:
+            mgr.save(trainer.state, force=True)
+            mgr.wait_until_finished()
+            mgr.close()
+
+    if args.export_dir:
+        sp_dir = save_span_predictor(args.export_dir, sp_cfg,
+                                     trainer.state.params)
+        print(f"wrote span predictor to {sp_dir}", file=sys.stderr)
+
+    print(f"done: {n} steps in {time.time() - t0:.1f}s "
+          f"(final step {int(trainer.state.step)})", file=sys.stderr)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     if not args.records and not args.synthetic:
@@ -182,6 +295,9 @@ def main(argv=None) -> int:
         total_steps = per_epoch * args.epochs
     if not total_steps:
         total_steps = args.synthetic * args.epochs
+
+    if args.task == "span":
+        return _run_span(args, model, total_steps)
 
     trainable_filter = None
     if args.train_towers:
