@@ -20,6 +20,7 @@ axis (see parallel/mesh.py).
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass
 from functools import partial
@@ -35,6 +36,8 @@ from sam_audio_tpu.models.dit import dit_apply, dit_init
 from sam_audio_tpu.models.t5 import t5_encode, t5_encoder_init
 from sam_audio_tpu.ops import nn as N
 from sam_audio_tpu.ops.ode import odeint
+
+logger = logging.getLogger(__name__)
 
 DFLT_ODE_OPT = {"method": "midpoint", "step_size": 2 / 32}
 
@@ -476,6 +479,7 @@ class SAMAudio:
         rng: Optional[jax.Array] = None,
         preview_nfe: Optional[int] = None,
         visual_stride: int = 1,
+        max_direct_seconds: Optional[float] = None,
     ) -> SeparationResult:
         """Separate `batch` (a processor.Batch). Mirrors reference
         model.py:247-338 including the `noise=` injection point used for
@@ -492,10 +496,43 @@ class SAMAudio:
         interpolate the conditioning features to all latent frames. The
         reference encodes one frame per latent frame
         (model.py:186-191) — the visual pipeline's dominant FLOP block;
-        stride trades it down ~stride times (see PARITY.md)."""
+        stride trades it down ~stride times (see PARITY.md).
+
+        `max_direct_seconds`: clips longer than this auto-dispatch through
+        streaming.py's fixed-size windows (one warmed compiled program for
+        ANY duration) instead of compiling an unbounded direct shape.
+        Defaults to the RoPE-table bound — the reference hard-fails past
+        max_positions=10000 frames ≈ 400 s (transformer.py:404-409); here a
+        10-minute clip just streams. Set `model.max_direct_seconds` to lower
+        it globally (e.g. to a serving bucket grid)."""
         ode_opt = ode_opt or DFLT_ODE_OPT
         k = int(reranking_candidates)
         cfg = self.cfg
+
+        t_frames_in = int(batch.anchor_alignment.shape[-1])
+        if max_direct_seconds is None:
+            max_direct_seconds = getattr(self, "max_direct_seconds", None)
+        limit_frames = int(cfg.transformer.max_positions)
+        if max_direct_seconds is not None:
+            limit_frames = min(limit_frames, int(
+                max_direct_seconds * self.sample_rate / self.hop_length))
+        if t_frames_in > limit_frames:
+            if noise is not None:
+                # explicit noise pins the caller to the direct solve (parity
+                # and regression paths); our RoPE builds tables for the
+                # actual length, so unlike the reference this still runs —
+                # but it compiles a dedicated program for this shape.
+                logger.warning(
+                    "separate: %d frames exceeds the direct-dispatch limit "
+                    "(%d) but explicit noise= forces the direct path; "
+                    "expect a fresh XLA compile for this shape.",
+                    t_frames_in, limit_frames)
+            else:
+                return self._separate_long(
+                    batch, k=k, rng=rng, preview_nfe=preview_nfe,
+                    visual_stride=visual_stride,
+                    predict_spans=predict_spans,
+                    limit_frames=limit_frames)
 
         # Long-lived processes that keep compiling new shape buckets
         # accumulate LLVM-JIT memory maps per executable (CPU backend);
@@ -641,6 +678,48 @@ class SAMAudio:
             residual = [res_sel[i, :sizes[i]] for i in range(b)]
 
         return SeparationResult(target=target, residual=residual, noise=noise)
+
+    def _separate_long(self, batch, k: int, rng, preview_nfe, visual_stride,
+                       predict_spans: bool,
+                       limit_frames: int) -> SeparationResult:
+        """Route a batch whose clips exceed the direct-dispatch limit through
+        streaming.py windows, one item at a time (each item may be hours
+        long; windows reuse ONE warmed compiled program). The reference
+        cannot process these clips at all — its RoPE table hard-caps direct
+        attention at ~400 s (transformer.py:404-409)."""
+        from sam_audio_tpu.streaming import separate_streaming
+
+        if predict_spans:
+            raise ValueError(
+                "predict_spans=True is unsupported beyond max_direct_seconds"
+                " — span prediction attends over the whole clip at once. "
+                "Pass explicit anchors= for long clips.")
+        if rng is None:
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
+        # Each window re-enters separate() directly, so it must fit under
+        # the dispatch limit (otherwise this would recurse).
+        window_s = min(float(getattr(self, "streaming_window_s", 10.0)),
+                       limit_frames * self.hop_length / self.sample_rate)
+        audios = np.asarray(batch.audios)
+        sizes = [self.feature_idx_to_wav_idx(int(s))
+                 for s in np.asarray(batch.sizes)]
+        target, residual = [], []
+        for i in range(audios.shape[0]):
+            res = separate_streaming(
+                self, batch.descriptions[i], audios[i, 0, : sizes[i]],
+                window_s=window_s,
+                anchors=(list(batch.anchors[i])
+                         if batch.anchors is not None else None),
+                reranking_candidates=k,
+                rng=jax.random.fold_in(rng, i),
+                preview_nfe=preview_nfe,
+                masked_video=(batch.masked_video[i]
+                              if batch.masked_video is not None else None),
+                visual_stride=visual_stride,
+            )
+            target.append(res.target[: sizes[i]])
+            residual.append(res.residual[: sizes[i]])
+        return SeparationResult(target=target, residual=residual, noise=None)
 
     # -- reranking (reference model.py:306-330) ------------------------------
 

@@ -309,12 +309,17 @@ class SpanPredictor:
         from sam_audio_tpu.models import dacvae
         from sam_audio_tpu.models.t5 import t5_encode
 
+        # Featurize in the model's compute dtype — train/span.py encodes
+        # features the same way, so train and serve see identical inputs.
+        compute_dtype = jnp.dtype(model.cfg.compute_dtype)
         lat = dacvae.encode(model.params["audio_codec"], jnp.asarray(audios),
-                            model.cfg.audio_codec)
-        lat = jnp.swapaxes(lat, 1, 2)[..., : self.cfg.audio_dim]
+                            model.cfg.audio_codec,
+                            compute_dtype=compute_dtype)
+        lat = jnp.swapaxes(lat, 1, 2).astype(jnp.float32)[..., : self.cfg.audio_dim]
         text_ids, text_mask = model._tokenize(batch.descriptions)
         text_features = t5_encode(model.params["text_encoder"], text_ids,
-                                  text_mask, model.cfg.text_encoder)
+                                  text_mask, model.cfg.text_encoder,
+                                  compute_dtype=compute_dtype)
         pad_mask = jnp.asarray(batch.audio_pad_mask)
         logits = span_predictor_forward(
             self.params, self.cfg, lat, pad_mask, text_features, text_mask

@@ -123,10 +123,25 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard array leaves along the batch axis over "dp"."""
+    """Shard array leaves along the batch axis over "dp".
+
+    Single-process: the whole (global) batch lives on this host and
+    device_put splits it across the mesh. Multi-process (dp over DCN, the
+    reference's torchrun scheme at eval/main.py:53-60): each process holds
+    only ITS batch rows (disjoint record reads, train/records.py), so the
+    local leaves are assembled into one global array whose dp axis
+    concatenates the per-process batches in process order."""
+    multiprocess = jax.process_count() > 1 and any(
+        d.process_index != jax.process_index()
+        for d in mesh.devices.flatten())
+
     def place(x):
         spec = P(*(["dp"] + [None] * (np.ndim(x) - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(place, batch)
 

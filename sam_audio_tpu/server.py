@@ -47,12 +47,24 @@ from sam_audio_tpu.serving import SeparationRequest, SeparationResponse
 logger = logging.getLogger(__name__)
 
 
+class ServerOverloadedError(RuntimeError):
+    """Admission queue is full — the client should retry later (HTTP 429)."""
+
+
+class RequestTooLongError(ValueError):
+    """Request exceeds the server's max duration policy (HTTP 413)."""
+
+
 @dataclass
 class BatcherStats:
     """Counters the device thread updates after every dispatch."""
 
     requests: int = 0
     failed_requests: int = 0
+    rejected_overload: int = 0  # 429s at admission
+    rejected_too_long: int = 0  # 413s (long_policy=reject)
+    streamed_requests: int = 0  # routed through streaming windows
+    map_guard_clears: int = 0   # compile-cache clears observed mid-serving
     batches: int = 0
     batched_requests: int = 0  # sum of dispatched batch sizes
     batch_size_hist: dict = field(default_factory=dict)
@@ -63,11 +75,16 @@ class BatcherStats:
             return 0.0
         return self.batched_requests / (self.batches * max_batch)
 
-    def snapshot(self, max_batch: int) -> dict:
+    def snapshot(self, max_batch: int, queue_depth: int = 0) -> dict:
         lat = sorted(self.latency_ms)
         return {
             "requests": self.requests,
             "failed_requests": self.failed_requests,
+            "rejected_overload": self.rejected_overload,
+            "rejected_too_long": self.rejected_too_long,
+            "streamed_requests": self.streamed_requests,
+            "map_guard_clears": self.map_guard_clears,
+            "queue_depth": queue_depth,
             "batches": self.batches,
             "mean_batch_size": (self.batched_requests / self.batches
                                 if self.batches else 0.0),
@@ -96,7 +113,27 @@ class ContinuousBatcher:
                  max_wait_ms: float = 20.0, reranking_candidates: int = 1,
                  predict_spans: bool = False,
                  preview_nfe: Optional[int] = None, visual_stride: int = 1,
-                 autostart: bool = True):
+                 autostart: bool = True, max_queue: int = 256,
+                 max_seconds: Optional[float] = None,
+                 long_policy: str = "reject",
+                 streaming_window_s: float = 10.0,
+                 pad_batch_sizes: bool = True):
+        """Overload / over-length policy (production-honest serving):
+
+        max_queue — admission bound; submit() past this depth raises
+          ServerOverloadedError (HTTP 429) instead of letting requests pile
+          up toward the timeout.
+        max_seconds — requests longer than this hit `long_policy`:
+          "reject" fails them with RequestTooLongError (HTTP 413);
+          "stream" routes them through streaming.py windows on the device
+          thread, so a long clip reuses the warmed fixed-window program
+          instead of compiling an unbounded direct shape (XLA compiles are
+          minutes on a relay-backed chip and would stall ALL traffic).
+        pad_batch_sizes — pad each dispatched group up to the next warmed
+          batch size (1, 2, 4, ... max_batch) by repeating the last item,
+          so intermediate group sizes never trigger a fresh compile once
+          `warmup()` has run; padded rows are dropped before reply.
+        """
         self.model = model
         self.processor = processor or SAMAudioProcessor(
             audio_hop_length=model.hop_length,
@@ -110,11 +147,23 @@ class ContinuousBatcher:
         self.predict_spans = predict_spans
         self.preview_nfe = preview_nfe
         self.visual_stride = visual_stride
+        self.max_queue = int(max_queue)
+        self.max_seconds = max_seconds
+        if long_policy not in ("reject", "stream"):
+            raise ValueError(f"long_policy must be reject|stream, "
+                             f"got {long_policy!r}")
+        self.long_policy = long_policy
+        self.streaming_window_s = float(streaming_window_s)
+        self.pad_batch_sizes = bool(pad_batch_sizes)
         self.stats = BatcherStats()
         self._queue: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()  # guards stats
         self._thread: Optional[threading.Thread] = None
         self._stopped = threading.Event()
+        self._warmed: list = []
+        from sam_audio_tpu.utils import map_guard
+
+        self._guard_seen = map_guard.clear_count()
         if autostart:
             self.start()
 
@@ -122,7 +171,14 @@ class ContinuousBatcher:
 
     def start(self):
         if self._thread is not None:
-            return
+            if self._thread.is_alive():
+                raise RuntimeError(
+                    "ContinuousBatcher.start(): previous device thread is "
+                    "still running (a shutdown() join timed out — likely a "
+                    "long XLA compile in flight). Starting a second device "
+                    "thread would race it over the queue; retry shutdown() "
+                    "first.")
+            self._thread = None
         self._stopped.clear()
         self._thread = threading.Thread(
             target=self._device_loop, name="sam-audio-batcher", daemon=True)
@@ -134,6 +190,13 @@ class ContinuousBatcher:
             return
         self._queue.put(self._SHUTDOWN)
         self._thread.join(timeout)
+        if self._thread.is_alive():
+            # Join timed out (e.g. a multi-minute relay compile still in
+            # flight). Keep the handle so a premature start() can refuse to
+            # spawn a second thread racing this one over the queue.
+            logger.warning("shutdown: device thread still running after "
+                           "%.0fs; leaving it to drain", timeout or 0)
+            return
         self._thread = None
         self._stopped.set()
 
@@ -146,7 +209,29 @@ class ContinuousBatcher:
 
     # -- admission ---------------------------------------------------------
 
+    def queue_depth(self) -> int:
+        return self._queue.qsize()
+
     def submit(self, request: SeparationRequest) -> "Future[SeparationResponse]":
+        if self.max_queue and self._queue.qsize() >= self.max_queue:
+            with self._lock:
+                self.stats.rejected_overload += 1
+            raise ServerOverloadedError(
+                f"admission queue full ({self._queue.qsize()} >= "
+                f"{self.max_queue} waiting requests)")
+        # Over-length rejection happens at admission when the duration is
+        # already known (in-memory audio); file paths are checked after
+        # decode on the device thread (_dispatch).
+        if (self.max_seconds is not None and self.long_policy == "reject"
+                and not isinstance(request.audio, str)):
+            n = np.asarray(request.audio).shape[-1]
+            if n > self.max_seconds * self.model.sample_rate:
+                with self._lock:
+                    self.stats.rejected_too_long += 1
+                raise RequestTooLongError(
+                    f"request is {n / self.model.sample_rate:.1f}s; this "
+                    f"server accepts at most {self.max_seconds:.1f}s "
+                    "(long_policy=reject)")
         fut: "Future[SeparationResponse]" = Future()
         self._queue.put((request, fut, time.monotonic()))
         return fut
@@ -200,6 +285,48 @@ class ContinuousBatcher:
             if pending is None:
                 return
             self._dispatch(pending)
+            self._maybe_rewarm()
+
+    def _batch_grid(self) -> list:
+        """Warmed batch sizes: 1, 2, 4, ... plus max_batch itself."""
+        grid, p = [], 1
+        while p < self.max_batch:
+            grid.append(p)
+            p *= 2
+        grid.append(self.max_batch)
+        return grid
+
+    def _dispatch_streaming(self, req, fut, t0, wav: np.ndarray):
+        """Run one over-length request through streaming.py windows (device
+        thread): the warmed fixed-window program handles any duration, so a
+        10-minute clip never compiles a new direct shape."""
+        from sam_audio_tpu.streaming import separate_streaming
+
+        try:
+            res = separate_streaming(
+                self.model, req.description, wav,
+                window_s=self.streaming_window_s,
+                anchors=req.anchors,
+                reranking_candidates=self.reranking_candidates,
+                preview_nfe=self.preview_nfe,
+                masked_video=req.masked_video,
+                visual_stride=self.visual_stride)
+        except Exception as e:  # noqa: BLE001 — isolate request faults
+            fut.set_exception(e)
+            with self._lock:
+                self.stats.requests += 1
+                self.stats.failed_requests += 1
+            return
+        now = time.monotonic()
+        fut.set_result(SeparationResponse(
+            target=np.asarray(res.target), residual=np.asarray(res.residual),
+            metadata={"streamed": True, "num_windows": res.num_windows}))
+        with self._lock:
+            s = self.stats
+            s.requests += 1
+            s.streamed_requests += 1
+            s.latency_ms.append((now - t0) * 1e3)
+            del s.latency_ms[:-1024]
 
     def _dispatch(self, pending: list):
         # Per-request host decode: a bad file fails ONLY that future.
@@ -213,6 +340,28 @@ class ContinuousBatcher:
                 with self._lock:
                     self.stats.requests += 1
                     self.stats.failed_requests += 1
+        # Over-length policy, post-decode (covers file-path requests whose
+        # duration is unknown at admission).
+        if self.max_seconds is not None and live:
+            limit = int(self.max_seconds * self.model.sample_rate)
+            short = []
+            for (req, fut, t0), wav in zip(live, wavs):
+                if wav.shape[-1] <= limit:
+                    short.append(((req, fut, t0), wav))
+                elif self.long_policy == "stream":
+                    self._dispatch_streaming(req, fut, t0, wav)
+                else:
+                    fut.set_exception(RequestTooLongError(
+                        f"request is "
+                        f"{wav.shape[-1] / self.model.sample_rate:.1f}s; "
+                        f"this server accepts at most "
+                        f"{self.max_seconds:.1f}s (long_policy=reject)"))
+                    with self._lock:
+                        self.stats.requests += 1
+                        self.stats.failed_requests += 1
+                        self.stats.rejected_too_long += 1
+            live = [lw[0] for lw in short]
+            wavs = [lw[1] for lw in short]
         if not live:
             return
 
@@ -221,13 +370,22 @@ class ContinuousBatcher:
             lengths, hop=self.model.hop_length,
             bucket_steps=self.bucket_steps, max_batch=self.max_batch)
         for group, bucket in zip(batches, buckets):
-            reqs = [live[i][0] for i in group]
+            # Pad the dispatched batch up to the next warmed size by
+            # repeating the last request's audio: intermediate group sizes
+            # then reuse a compiled program instead of compiling their own
+            # (padded rows are dropped before replying).
+            n_true = len(group)
+            pad_to = n_true
+            if self.pad_batch_sizes:
+                pad_to = next(g for g in self._batch_grid() if g >= n_true)
+            idx = list(group) + [group[-1]] * (pad_to - n_true)
+            reqs = [live[i][0] for i in idx]
             futs = [live[i][1] for i in group]
             t0s = [live[i][2] for i in group]
             try:
                 batch = self.processor(
                     descriptions=[r.description for r in reqs],
-                    audios=[wavs[i] for i in group],
+                    audios=[wavs[i] for i in idx],
                     anchors=[r.anchors for r in reqs]
                     if any(r.anchors for r in reqs) else None,
                     masked_videos=[r.masked_video for r in reqs]
@@ -252,21 +410,113 @@ class ContinuousBatcher:
                 fut.set_result(SeparationResponse(
                     target=np.asarray(result.target[j]),
                     residual=np.asarray(result.residual[j]),
-                    metadata={"bucket": bucket, "batch_size": len(group)}))
+                    metadata={"bucket": bucket, "batch_size": n_true,
+                              "dispatch_size": pad_to}))
             with self._lock:
                 s = self.stats
-                s.requests += len(group)
+                s.requests += n_true
                 s.batches += 1
-                s.batched_requests += len(group)
-                s.batch_size_hist[len(group)] = (
-                    s.batch_size_hist.get(len(group), 0) + 1)
+                s.batched_requests += n_true
+                s.batch_size_hist[n_true] = (
+                    s.batch_size_hist.get(n_true, 0) + 1)
                 s.latency_ms.extend(
                     (now - t0) * 1e3 for t0 in t0s)
                 del s.latency_ms[:-1024]
 
+    # -- warmup / compile-cache hygiene -------------------------------------
+
+    def warmup(self, seconds: Sequence[float] = (10.0,),
+               batch_sizes: Optional[Sequence[int]] = None,
+               warm_streaming: Optional[bool] = None):
+        """Compile every program the serving grid uses BEFORE the device
+        thread starts, with exact batch sizes (queue-based warmup could
+        coalesce into unintended sizes — ADVICE r4). Also records the warmed
+        shape set so a mid-serving map_guard cache clear triggers an
+        automatic re-warm on the device thread. Resets stats afterwards so
+        counters reflect real traffic only."""
+        if self._thread is not None and self._thread.is_alive():
+            raise RuntimeError(
+                "warmup() must run before start(): warmup compiles must not "
+                "race the device thread over the XLA caches")
+        unit = self.model.hop_length * self.bucket_steps
+        sizes = sorted(set(batch_sizes or self._batch_grid()))
+        self._warmed = []
+        for sec in seconds:
+            n = max(unit, -(-int(sec * self.model.sample_rate) // unit) * unit)
+            for b in sizes:
+                self._warm_one(n, b)
+                self._warmed.append((n, b))
+        if warm_streaming is None:
+            warm_streaming = (self.max_seconds is not None
+                              and self.long_policy == "stream")
+        if warm_streaming:
+            self._warm_streaming()
+            self._warmed.append(("streaming", 1))
+        logger.info("warmup complete (%d shapes)", len(self._warmed))
+
+    def _warm_one(self, n_samples: int, b: int):
+        pending = [
+            (SeparationRequest(description="warmup",
+                               audio=np.zeros((1, n_samples), np.float32)),
+             Future(), time.monotonic())
+            for _ in range(b)
+        ]
+        # Warm dispatches must not pollute the traffic counters: swap in a
+        # throwaway stats object for the duration.
+        with self._lock:
+            real, self.stats = self.stats, BatcherStats()
+        try:
+            self._dispatch(pending)
+        finally:
+            with self._lock:
+                self.stats = real
+        for _, fut, _ in pending:
+            fut.result(timeout=0)  # surface warmup failures loudly
+
+    def _warm_streaming(self):
+        from sam_audio_tpu.streaming import separate_streaming
+
+        sr = self.model.sample_rate
+        win = (int(self.streaming_window_s * sr)
+               // self.model.hop_length * self.model.hop_length)
+        # >1 window forces the windowed path, compiling the (1, win) program
+        separate_streaming(self.model, "warmup",
+                           np.zeros(int(win * 2.5), np.float32),
+                           window_s=self.streaming_window_s,
+                           reranking_candidates=self.reranking_candidates,
+                           preview_nfe=self.preview_nfe)
+
+    def _maybe_rewarm(self):
+        """map_guard (utils/map_guard.py) clears ALL compiled programs when
+        the process nears vm.max_map_count — in a serving process that turns
+        the next request per shape into a fresh XLA compile (multi-minute on
+        a relay-backed chip). Detect the clear on the device thread and
+        re-warm the recorded grid immediately, so the stall is paid once,
+        proactively, instead of per-request."""
+        from sam_audio_tpu.utils import map_guard
+
+        n = map_guard.clear_count()
+        if n == self._guard_seen:
+            return
+        self._guard_seen = n
+        with self._lock:
+            self.stats.map_guard_clears += 1
+        warmed = getattr(self, "_warmed", None)
+        if not warmed:
+            return
+        logger.warning("map_guard cleared compiled programs mid-serving; "
+                       "re-warming %d shapes", len(warmed))
+        t0 = time.monotonic()
+        for item in warmed:
+            if item[0] == "streaming":
+                self._warm_streaming()
+            else:
+                self._warm_one(*item)
+        logger.warning("re-warm complete in %.1fs", time.monotonic() - t0)
+
     def stats_snapshot(self) -> dict:
         with self._lock:
-            return self.stats.snapshot(self.max_batch)
+            return self.stats.snapshot(self.max_batch, self._queue.qsize())
 
 
 # ---------------------------------------------------------------------------
@@ -312,6 +562,30 @@ def _wav_b64_to_array(b64: str) -> tuple:
     return x.reshape(-1, ch).T, sr
 
 
+def _status_for(exc: BaseException) -> int:
+    """Error taxonomy: client faults are 4xx, server faults 5xx.
+
+    - 429 overload (bounded admission queue full)
+    - 413 over-length (long_policy=reject)
+    - 504 request timed out in the queue/device pipeline
+    - 400 malformed request (bad JSON, missing fields, bad audio payload)
+    - 500 anything else (a server-side fault is NOT the client's error)
+    """
+    import concurrent.futures
+
+    if isinstance(exc, ServerOverloadedError):
+        return 429
+    if isinstance(exc, RequestTooLongError):
+        return 413
+    if isinstance(exc, (concurrent.futures.TimeoutError, TimeoutError)):
+        return 504
+    if isinstance(exc, (KeyError, ValueError, TypeError,
+                        json.JSONDecodeError, base64.binascii.Error,
+                        FileNotFoundError)):
+        return 400
+    return 500
+
+
 class SeparationServer:
     """HTTP wrapper over a ContinuousBatcher. stdlib-only by design."""
 
@@ -328,11 +602,13 @@ class SeparationServer:
             def log_message(self, fmt, *args):  # quiet by default
                 logger.debug("http: " + fmt, *args)
 
-            def _reply(self, code: int, payload: dict):
+            def _reply(self, code: int, payload: dict, headers=()):
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in headers:
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -352,8 +628,17 @@ class SeparationServer:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n))
                     resp = srv.handle(req)
-                except Exception as e:  # noqa: BLE001 — surface to client
-                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                except Exception as e:  # noqa: BLE001 — taxonomy below
+                    code = _status_for(e)
+                    payload = {"error": f"{type(e).__name__}: {e}"}
+                    headers = ()
+                    if code == 429:
+                        payload["queue_depth"] = srv.batcher.queue_depth()
+                        headers = (("Retry-After", "1"),)
+                    if code >= 500:
+                        logger.exception("server fault handling %s",
+                                         self.path)
+                    self._reply(code, payload, headers)
                     return
                 self._reply(200, resp)
 
@@ -431,6 +716,14 @@ def _main(argv: Optional[Sequence[str]] = None):
     ap.add_argument("--candidates", type=int, default=1)
     ap.add_argument("--warmup-seconds", type=float, nargs="*", default=[10.0],
                     help="durations to pre-compile before accepting traffic")
+    ap.add_argument("--max-queue", type=int, default=256,
+                    help="admission bound; beyond it requests get HTTP 429")
+    ap.add_argument("--max-seconds", type=float, default=None,
+                    help="longest request accepted directly; defaults to the "
+                         "longest --warmup-seconds (no un-warmed compiles)")
+    ap.add_argument("--long-policy", choices=("reject", "stream"),
+                    default="stream",
+                    help="over-length requests: 413, or streaming windows")
     ap.add_argument("--int8", action="store_true")
     args = ap.parse_args(argv)
 
@@ -439,26 +732,29 @@ def _main(argv: Optional[Sequence[str]] = None):
     model = SAMAudio.from_pretrained(args.snapshot)
     if args.int8:
         model = model.quantize()
+    # Default max-length policy: anything past the warmed grid would compile
+    # a fresh program ON the device thread (multi-minute on a relay-backed
+    # chip, stalling all traffic) — so bound direct requests at the longest
+    # warmed duration and stream (or 413) the rest.
+    max_seconds = args.max_seconds
+    if max_seconds is None and args.warmup_seconds:
+        max_seconds = max(args.warmup_seconds)
     batcher = ContinuousBatcher(
         model, max_batch=args.max_batch, bucket_seconds=args.bucket_seconds,
         max_wait_ms=args.max_wait_ms,
-        reranking_candidates=args.candidates)
+        reranking_candidates=args.candidates,
+        max_queue=args.max_queue, max_seconds=max_seconds,
+        long_policy=args.long_policy,
+        streaming_window_s=(max(args.warmup_seconds)
+                            if args.warmup_seconds else 10.0),
+        autostart=False)
     if args.warmup_seconds:
-        # Warm every (bucket, batch in {1, max}) shape on the device thread
-        # so the first real request never pays an XLA compile.
-        unit = model.hop_length * batcher.bucket_steps
-        for sec in args.warmup_seconds:
-            n = max(unit, -(-int(sec * model.sample_rate) // unit) * unit)
-            for b in sorted({1, args.max_batch}):
-                futs = [batcher.submit(SeparationRequest(
-                    description="warmup",
-                    audio=np.zeros((1, n), np.float32)))
-                    for _ in range(b)]
-                # Block per shape so warmup batches can't merge across
-                # shapes (each (bucket, b) compiles exactly its program).
-                for f in futs:
-                    f.result()
-        logger.info("warmup complete: %s", batcher.stats_snapshot())
+        # Exact-size warmup of the full (bucket, batch-grid) set, plus the
+        # streaming window program when long_policy=stream — the first real
+        # request never pays an XLA compile (ADVICE r4: queue-based warmup
+        # could coalesce into unintended batch sizes).
+        batcher.warmup(seconds=args.warmup_seconds)
+    batcher.start()
     server = SeparationServer(batcher, host=args.host, port=args.port)
     print(json.dumps({"serving": f"http://{args.host}:{server.port}",
                       "max_batch": args.max_batch}), flush=True)

@@ -291,22 +291,25 @@ def get_text_tokenizer(cfg_or_name, prefer_hf: bool = True,
         try:
             return HFTokenizer(name)
         except Exception:
-            if not allow_fallback:
-                raise RuntimeError(
-                    f"No tokenizer for '{name}' is available locally and the "
-                    "hub is unreachable. Stage the HF tokenizer files (e.g. "
-                    "`huggingface-cli download t5-base` on a connected host, "
-                    "then ship the cache) — the reference always loads the "
-                    "real T5 tokenizer (sam_audio/model/text_encoder.py:14-15)"
-                    ". The byte-level fallback would silently condition the "
-                    "model on garbage token ids; pass allow_fallback=True "
-                    "(or allow_random_towers=True on the model) only with "
-                    "randomly-initialized text towers."
-                )
-    if prefer_hf:
-        logger.warning(
-            "Falling back to the hermetic ByteFallbackTokenizer for '%s' — "
-            "NOT vocabulary-compatible; use only with random-init text "
-            "towers.", name,
+            pass  # gated below, exactly like the prefer_hf=False path
+    # The gate applies to EVERY route to the byte fallback, including
+    # prefer_hf=False — a caller with real weights must never silently
+    # condition on byte-level token ids.
+    if not allow_fallback:
+        raise RuntimeError(
+            f"No tokenizer for '{name}' is available locally and the "
+            "hub is unreachable. Stage the HF tokenizer files (e.g. "
+            "`huggingface-cli download t5-base` on a connected host, "
+            "then ship the cache) — the reference always loads the "
+            "real T5 tokenizer (sam_audio/model/text_encoder.py:14-15)"
+            ". The byte-level fallback would silently condition the "
+            "model on garbage token ids; pass allow_fallback=True "
+            "(or allow_random_towers=True on the model) only with "
+            "randomly-initialized text towers."
         )
+    logger.warning(
+        "Falling back to the hermetic ByteFallbackTokenizer for '%s' — "
+        "NOT vocabulary-compatible; use only with random-init text "
+        "towers.", name,
+    )
     return ByteFallbackTokenizer(vocab)

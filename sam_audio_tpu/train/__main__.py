@@ -237,7 +237,8 @@ def _run_span(args, model, total_steps) -> int:
             metrics = trainer.step(batch, step_rng)
             n += 1
             step = int(trainer.state.step)
-            if args.log_every and n % args.log_every == 1:
+            # (n-1) % N == 0 logs the first step and every Nth, incl. N=1
+            if args.log_every and (n - 1) % args.log_every == 0:
                 print(f"step {step}: loss={float(metrics['loss']):.4f} "
                       f"f1={float(metrics['frame_f1']):.3f}", file=sys.stderr)
             if mgr is not None:
@@ -383,7 +384,8 @@ def main(argv=None) -> int:
             metrics = trainer.step(batch, step_rng)
             n += 1
             step = int(trainer.state.step)
-            if args.log_every and n % args.log_every == 1:
+            # (n-1) % N == 0 logs the first step and every Nth, incl. N=1
+            if args.log_every and (n - 1) % args.log_every == 0:
                 loss = float(metrics["loss"])
                 gn = float(metrics["grad_norm"])
                 rate = n / (time.time() - t0)

@@ -98,9 +98,12 @@ def encode_span_batch(tower_params, mixtures, targets, text_ids, text_mask,
 
 
 def span_bce_loss(sp_params, sp_cfg: SpanPredictorConfig,
-                  batch: Dict[str, Any], pos_weight: float = 1.0):
+                  batch: Dict[str, Any], pos_weight: float = 1.0,
+                  return_logits: bool = False):
     """Masked per-frame BCE-with-logits; `pos_weight` scales the positive
-    class (active frames are often the minority in long mixtures)."""
+    class (active frames are often the minority in long mixtures).
+    `return_logits=True` additionally returns the forward logits so the
+    train step can compute frame metrics without a second full forward."""
     logits = span_predictor_forward(
         sp_params, sp_cfg, batch["audio_features"], batch["audio_pad_mask"],
         batch["text_features"], batch["text_mask"],
@@ -111,7 +114,8 @@ def span_bce_loss(sp_params, sp_cfg: SpanPredictorConfig,
         jnp.exp(-jnp.abs(logits)))
     w = jnp.where(y > 0.5, pos_weight, 1.0)
     mask = batch["audio_pad_mask"].astype(jnp.float32)
-    return jnp.sum(per * w * mask) / jnp.maximum(jnp.sum(w * mask), 1.0)
+    loss = jnp.sum(per * w * mask) / jnp.maximum(jnp.sum(w * mask), 1.0)
+    return (loss, logits) if return_logits else loss
 
 
 def _frame_metrics(logits, labels, mask):
@@ -153,16 +157,17 @@ class SpanTrainer:
             del rng  # deterministic objective; kept for interface parity
 
             def loss_fn(p):
-                return span_bce_loss(p, sp_cfg, batch, pos_weight=pos_weight)
+                return span_bce_loss(p, sp_cfg, batch,
+                                     pos_weight=pos_weight,
+                                     return_logits=True)
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            # Metrics reuse the loss-pass logits (pre-update params) —
+            # a second full forward would cost ~1.5x per step (ADVICE r4).
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
             updates, opt_state = optimizer.update(grads, state.opt_state,
                                                   state.params)
             new = optax.apply_updates(state.params, updates)
-            logits = span_predictor_forward(
-                new, sp_cfg, batch["audio_features"],
-                batch["audio_pad_mask"], batch["text_features"],
-                batch["text_mask"])
             metrics = {"loss": loss,
                        "grad_norm": optax.global_norm(grads)}
             metrics.update(_frame_metrics(

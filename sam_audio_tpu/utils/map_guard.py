@@ -28,6 +28,15 @@ logger = logging.getLogger(__name__)
 
 _PROC_MAPS = "/proc/self/maps"
 
+_clear_count = 0
+
+
+def clear_count() -> int:
+    """Number of cache clears this process has performed. Long-lived serving
+    loops poll this to detect that their warmed programs were dropped and
+    re-warm proactively (server.ContinuousBatcher._maybe_rewarm)."""
+    return _clear_count
+
 
 def map_count() -> int:
     """Number of memory mappings of this process (0 where /proc is absent)."""
@@ -69,6 +78,8 @@ def maybe_clear_caches(threshold: int | None = None) -> bool:
 
     jax.clear_caches()
     gc.collect()
+    global _clear_count
+    _clear_count += 1
     freed = n - map_count()
     logger.warning(
         "map_guard: %d memory maps (limit %d) — cleared JAX caches, "

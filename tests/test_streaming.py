@@ -175,3 +175,81 @@ def test_streaming_masked_video_native_fps_mapping():
     assert res_low.num_windows > 1
     np.testing.assert_allclose(res_low.target, res_full.target,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_separate_auto_dispatches_long_clips_to_streaming():
+    """Clips beyond the RoPE direct bound route through streaming windows
+    (one warmed program for any duration). The reference hard-fails past
+    max_positions=10000 frames ~= 400 s (reference transformer.py:404-409);
+    here the same separate() call completes."""
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    model = make_model()
+    sr = CFG.audio_codec.sample_rate
+    hop = CFG.audio_codec.hop_length  # 8
+    n = CFG.transformer.max_positions * hop * 4  # 4x the direct bound
+    wav = np.random.RandomState(3).randn(n).astype(np.float32) * 0.1
+    proc = SAMAudioProcessor(audio_hop_length=hop, audio_sampling_rate=sr)
+    batch = proc(descriptions=["dog"], audios=[wav[None]])
+    res = model.separate(batch, rng=jax.random.PRNGKey(11))
+    assert res.target[0].shape == (n,)
+    assert res.residual[0].shape == (n,)
+    assert np.isfinite(res.target[0]).all()
+    assert res.noise is None  # streamed: noise is drawn per window
+
+
+def test_separate_max_direct_seconds_matches_streaming():
+    """A lowered per-call limit routes even short clips through windows,
+    and the result is exactly separate_streaming at the same window/rng."""
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    model = make_model()
+    sr = CFG.audio_codec.sample_rate
+    hop = CFG.audio_codec.hop_length
+    wav = np.random.RandomState(4).randn(2 * sr).astype(np.float32) * 0.1
+    proc = SAMAudioProcessor(audio_hop_length=hop, audio_sampling_rate=sr)
+    batch = proc(descriptions=["cat"], audios=[wav[None]])
+    key = jax.random.PRNGKey(21)
+    res = model.separate(batch, rng=key, max_direct_seconds=0.02)
+    ref = separate_streaming(model, "cat", wav, window_s=0.02,
+                             rng=jax.random.fold_in(key, 0))
+    assert ref.num_windows > 1
+    np.testing.assert_allclose(res.target[0], ref.target, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_separate_long_with_explicit_noise_stays_direct():
+    model = make_model()
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    sr = CFG.audio_codec.sample_rate
+    hop = CFG.audio_codec.hop_length
+    n = CFG.transformer.max_positions * hop * 2
+    wav = np.random.RandomState(5).randn(n).astype(np.float32) * 0.1
+    proc = SAMAudioProcessor(audio_hop_length=hop, audio_sampling_rate=sr)
+    batch = proc(descriptions=["dog"], audios=[wav[None]])
+    t_frames = batch.anchor_alignment.shape[-1]
+    noise = np.asarray(jax.random.normal(
+        jax.random.PRNGKey(9),
+        (1, t_frames, 2 * CFG.audio_codec.codebook_dim), np.float32))
+    res = model.separate(batch, noise=noise)
+    assert res.noise is not None  # direct path keeps the injected noise
+    assert res.target[0].shape == (n,)
+
+
+def test_separate_long_predict_spans_raises():
+    import pytest
+
+    model = make_model()
+    from sam_audio_tpu.models.span_predictor import SpanPredictor
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    model.span_predictor = SpanPredictor.init_random(jax.random.PRNGKey(0))
+    sr = CFG.audio_codec.sample_rate
+    hop = CFG.audio_codec.hop_length
+    n = CFG.transformer.max_positions * hop * 2
+    proc = SAMAudioProcessor(audio_hop_length=hop, audio_sampling_rate=sr)
+    batch = proc(descriptions=["dog"],
+                 audios=[np.zeros((1, n), np.float32)])
+    with pytest.raises(ValueError, match="max_direct_seconds"):
+        model.separate(batch, predict_spans=True, rng=jax.random.PRNGKey(1))
