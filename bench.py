@@ -653,11 +653,24 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
               file=sys.stderr)
 
     def _visual_extra():
-        # exact-semantics visual prompting on the record (VERDICT r3 weak
-        # #2/#5): PE-Core ViT-L over 1 frame per latent frame @336^2
-        # (reference model.py:186-191) conditioning the same generation, CLAP
-        # rerank reused for the second dispatch.
+        # reference-faithful exact visual pipeline (VERDICT r4 next-step #2):
+        # PE-Core ViT-L over 1 frame per latent frame @336^2 conditioning
+        # the generation (reference model.py:186-191) AND the ImageBind
+        # visual rerank — the reference reranks visual runs with
+        # `visual_ranker` (ImageBind) FIRST (reference model.py:306-313).
+        # r4's recorded number paid the cheaper CLAP scorer (~9 ms) instead
+        # of ImageBind (~80 ms); this is the like-for-like number.
+        from sam_audio_tpu.models.imagebind import (
+            ImageBindConfig,
+            ImageBindHugeConfig,
+            audio_to_melclips_jax,
+            imagebind_encode_audio,
+            imagebind_encode_vision,
+            imagebind_huge_init,
+            video_to_frame_clips,
+        )
         from sam_audio_tpu.models.pe_clip import encode_images, pe_clip_init
+        from sam_audio_tpu.ops.resample import resample
 
         vcfg = cfg.vision_encoder
         pe_aux2 = _gen_random_like(
@@ -669,6 +682,21 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
                 k, (batch * t_frames, 3, vcfg.image_size, vcfg.image_size),
                 jnp.bfloat16) * 0.5
         )(jax.random.PRNGKey(12))
+
+        ib_cfg = ImageBindHugeConfig()
+        pipe_cfg = ImageBindConfig()
+        ib_aux = _gen_random_like(
+            lambda k: imagebind_huge_init(k, ib_cfg, jnp.bfloat16),
+            jax.random.PRNGKey(13),
+        )
+        frames_u8 = np.random.RandomState(14).randint(
+            0, 255, (batch, t_frames, 3, 224, 224)).astype(np.uint8)
+        ib_clips = jnp.asarray(np.stack([
+            video_to_frame_clips(frames_u8[i], num_clips=5,
+                                 frames_per_clip=ib_cfg.vision_frames,
+                                 size=ib_cfg.image_size, num_crops=3)
+            for i in range(batch)
+        ]))
 
         @jax.jit
         def step_vision_x(pe_aux2):
@@ -687,10 +715,30 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             targets = decode_channel(params, latents, cfg=cfg, channel=0)
             return latents, targets
 
+        @jax.jit
+        def step_score_ib(params, ib_aux, latents, targets):
+            # ImageBind visual rerank: ViT-H vision tower on the prompt
+            # clips + audio ViT on each candidate's mel clips, cosine per
+            # candidate (reference ranking/imagebind.py:174-197)
+            v_emb = imagebind_encode_vision(ib_aux, ib_cfg, ib_clips,
+                                            compute_dtype)
+            wav16 = resample(targets.astype(jnp.float32), sr,
+                             pipe_cfg.sample_rate)
+            mels = audio_to_melclips_jax(wav16, pipe_cfg)
+            a_emb = imagebind_encode_audio(ib_aux, ib_cfg, mels,
+                                           compute_dtype)
+            scores = jnp.einsum(
+                "bkd,bd->bk", a_emb.reshape(batch, candidates, -1), v_emb)
+            idxs = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            chosen = gather_candidates(latents, idxs, cfg=cfg,
+                                       candidates=candidates)
+            residual = decode_channel(params, chosen, cfg=cfg, channel=1)
+            return residual, jnp.sum(residual[:, ::7919].astype(jnp.float32))
+
         def run_visual():
             vf = step_vision_x(pe_aux2)
             latents, targets = step_gen_vis(params, vf, noise)
-            _, csum = step_score(params, aux, latents, targets)
+            _, csum = step_score_ib(params, ib_aux, latents, targets)
             float(csum)
 
         t0 = time.time()
@@ -704,8 +752,9 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
             ts.append(time.time() - t0)
         p50v = float(np.median(ts))
         extras["visual_exact_x"] = round(audio_sec / p50v, 3)
-        print(f"visual exact (PE tower + CLAP rerank) p50 {p50v*1000:.0f} ms"
-              f" -> {audio_sec/p50v:.2f}x", file=sys.stderr)
+        extras["visual_rerank"] = "imagebind"
+        print(f"visual exact (PE tower + ImageBind rerank) p50 "
+              f"{p50v*1000:.0f} ms -> {audio_sec/p50v:.2f}x", file=sys.stderr)
 
     def _int8_probe():
         # flagship-scale quantization accuracy, measured on chip (VERDICT r3
@@ -736,12 +785,48 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         print(f"int8 probe ({time.time()-t0:.1f}s): target corr {corr:.5f}, "
               f"SNR {snr:.2f} dB vs exact (same noise)", file=sys.stderr)
 
+    def _streaming_extra():
+        # long-audio story in the driver artifact (VERDICT r4 next-step #6):
+        # a 60 s clip through streaming.py windows (bw=1, k=1) — the code
+        # path separate() auto-dispatches to past max_direct_seconds and the
+        # server routes long requests through (long_policy=stream).
+        from sam_audio_tpu.models.sam_audio import SAMAudio
+        from sam_audio_tpu.streaming import separate_streaming
+
+        model = SAMAudio(cfg, params, tokenizer=tok,
+                         allow_random_towers=True)
+        stream_sec = 60.0
+        long_wav = (np.random.RandomState(15)
+                    .randn(int(stream_sec * sr)).astype(np.float32) * 0.1)
+
+        def run_stream():
+            res = separate_streaming(model, descriptions[0], long_wav,
+                                     window_s=10.0, reranking_candidates=1,
+                                     rng=jax.random.PRNGKey(2))
+            return res.num_windows
+
+        t0 = time.time()
+        nw = run_stream()
+        print(f"streaming extra: compile+first run {time.time()-t0:.1f}s "
+              f"({nw} windows)", file=sys.stderr)
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            run_stream()
+            ts.append(time.time() - t0)
+        p50s = float(np.median(ts))
+        extras["streaming_x"] = round(stream_sec / p50s, 3)
+        print(f"streaming 60s bw=1 k=1: {p50s*1000:.0f} ms -> "
+              f"{stream_sec/p50s:.2f}x", file=sys.stderr)
+
     if run_extras:
-        # Order by VERDICT-r3 priority: the secondary on-device scorer and
-        # the exact-visual probe must make the driver artifact; k=1 and the
-        # int8 accuracy probe follow (k=1 was already evidenced in r3).
+        # Order by VERDICT priority: the reference-faithful exact-visual
+        # number (r4 next-step #2) and the secondary on-device scorer must
+        # make the driver artifact; the streaming probe (r4 next-step #6),
+        # k=1, and the int8 accuracy probe follow.
         _extra("judge", 350.0, _judge_extra)
-        _extra("visual", 400.0, _visual_extra)
+        _extra("visual", 450.0, _visual_extra)
+        _extra("streaming", 300.0, _streaming_extra)
         _extra("k=1", 250.0, _k1_extra)
         _extra("int8-probe", 250.0, _int8_probe)
     print(json.dumps({

@@ -58,13 +58,40 @@ def run_sdpa(q_, k_, v_):
     return sdpa(q_, k_, v_)
 
 
+def run_sdpa_bf16(q_, k_, v_):
+    # the r4 production path (SAM_AUDIO_PE_SCORE_F32 unset): bf16 scores
+    return sdpa(q_, k_, v_, score_dtype=jnp.bfloat16)
+
+
+def run_sdpa_deferred(q_, k_, v_):
+    """Deferred normalization (r5 candidate): write UNNORMALIZED bf16
+    exp-weights and divide by the row sum at the (tiny) output instead —
+    drops softmax's normalize pass (one full read + write of the score
+    matrix, ~5.3 GB/layer at B=250) from the HBM bill."""
+    scale = 1.0 / (D ** 0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q_, k_,
+                        preferred_element_type=jnp.float32) * scale
+    logits = logits.astype(jnp.bfloat16)  # matmul-epilogue cast, like sdpa
+    m = jnp.max(logits.astype(jnp.float32), axis=-1, keepdims=True)
+    e = jnp.exp(logits.astype(jnp.float32) - m)
+    s = jnp.sum(e, axis=-1)  # (B,H,Sq) — multi-output fuses with the e write
+    e = e.astype(jnp.bfloat16)
+    out = jnp.einsum("bhqk,bkhd->bqhd", e, v_,
+                     preferred_element_type=jnp.float32)
+    inv = (1.0 / s).astype(jnp.float32)
+    return (out * jnp.swapaxes(inv, 1, 2)[..., None]).astype(v_.dtype)
+
+
 # numerics first (single call)
 ref = np.asarray(sdpa(q, k, v), np.float32)
 out = np.asarray(flash_attention(q, k, v, interpret=False), np.float32)
 err = np.abs(ref - out).max()
 print(f"max |flash - sdpa| = {err:.5f} (bf16 inputs)")
 
-t_x = timed(run_sdpa, "xla_sdpa ")
+t_x = timed(run_sdpa, "xla_sdpa f32")
+t_b = timed(run_sdpa_bf16, "xla_sdpa bf16")
+t_d = timed(run_sdpa_deferred, "deferred-norm")
+print(f"  deferred vs bf16 scores: {t_b / t_d:.2f}x")
 for bq, bk in BLOCKS:
     def run_flash(q_, k_, v_, bq=bq, bk=bk):
         return flash_attention(q_, k_, v_, block_q=bq, block_k=bk,
