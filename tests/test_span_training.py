@@ -130,7 +130,10 @@ def test_saved_predictor_attaches_and_drives_predict_spans(tmp_path):
 
     proc = SAMAudioProcessor.from_pretrained(str(snap))
     sr = cfg.audio_codec.sample_rate
-    wav = np.sin(2 * np.pi * 220 * np.arange(sr) / sr,
+    # stay under the tiny config's direct-dispatch limit (max_positions
+    # frames): past it separate() auto-streams, which rejects predict_spans
+    n = min(sr, cfg.transformer.max_positions * cfg.audio_codec.hop_length)
+    wav = np.sin(2 * np.pi * 220 * np.arange(n) / sr,
                  dtype=np.float64).astype(np.float32)[None]
     batch = proc(descriptions=["a tone"], audios=[wav])
     assert batch.anchors is None
