@@ -819,16 +819,76 @@ def main(candidates: int = 8, seconds: float = 10.0, batch: int = 1,
         print(f"streaming 60s bw=1 k=1: {p50s*1000:.0f} ms -> "
               f"{stream_sec/p50s:.2f}x", file=sys.stderr)
 
+    def _server_extra():
+        # online-serving story in the driver artifact (VERDICT r4 weak #7):
+        # sustained k=1 throughput through the REAL ContinuousBatcher
+        # (admission queue -> coalescing -> single device thread), the same
+        # stack SeparationServer serves HTTP from. mb_server.py is the full
+        # probe (incl. HTTP transport); this records the batcher number.
+        import threading
+
+        from sam_audio_tpu.models.sam_audio import SAMAudio
+        from sam_audio_tpu.server import ContinuousBatcher
+        from sam_audio_tpu.serving import SeparationRequest
+
+        model = SAMAudio(cfg, params, tokenizer=tok,
+                         allow_random_towers=True)
+        t_wav = (int(audio_sec * sr) // model.hop_length) * model.hop_length
+        rng = np.random.RandomState(16)
+
+        def reqs(n):
+            return [SeparationRequest(
+                descriptions[0],
+                audio=(rng.randn(1, t_wav) * 0.1).astype(np.float32))
+                for _ in range(n)]
+
+        batcher = ContinuousBatcher(model, max_batch=1,
+                                    bucket_seconds=audio_sec,
+                                    max_wait_ms=25.0, reranking_candidates=1)
+        try:
+            t0 = time.time()
+            batcher.separate(reqs(1)[0], timeout=1800)  # warm/compile
+            print(f"server extra: warm/compile {time.time()-t0:.1f}s",
+                  file=sys.stderr)
+            n = 12
+            futs = []
+            lock = threading.Lock()
+            pending = reqs(n)
+
+            def client():
+                while True:
+                    with lock:
+                        if not pending:
+                            return
+                        r = pending.pop()
+                    futs.append(batcher.submit(r))
+
+            t0 = time.perf_counter()
+            clients = [threading.Thread(target=client) for _ in range(4)]
+            for c in clients:
+                c.start()
+            for c in clients:
+                c.join()
+            for f in list(futs):
+                f.result(timeout=600)
+            wall = time.perf_counter() - t0
+            extras["server_sustained_x"] = round(n * audio_sec / wall, 3)
+            print(f"server sustained k=1: {n} reqs in {wall:.1f}s -> "
+                  f"{n*audio_sec/wall:.2f}x realtime/chip", file=sys.stderr)
+        finally:
+            batcher.shutdown()
+
     if run_extras:
         # Order by VERDICT priority: the reference-faithful exact-visual
         # number (r4 next-step #2) and the secondary on-device scorer must
         # make the driver artifact; the streaming probe (r4 next-step #6),
-        # k=1, and the int8 accuracy probe follow.
+        # k=1, the int8 accuracy probe, and the serving probe follow.
         _extra("judge", 350.0, _judge_extra)
         _extra("visual", 450.0, _visual_extra)
         _extra("streaming", 300.0, _streaming_extra)
         _extra("k=1", 250.0, _k1_extra)
         _extra("int8-probe", 250.0, _int8_probe)
+        _extra("server", 200.0, _server_extra)
     print(json.dumps({
         "metric": "audio_sec_per_sec_per_chip",
         "value": round(throughput, 3),

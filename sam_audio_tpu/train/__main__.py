@@ -271,9 +271,19 @@ def main(argv=None) -> int:
     if args.coordinator:
         # multi-host: same scheme as tests/test_multiprocess_allgather.py;
         # record shards are read disjointly per process (records.py).
-        jax.distributed.initialize(coordinator_address=args.coordinator,
-                                   num_processes=args.num_processes,
-                                   process_id=args.process_id)
+        # Idempotent: an outer launcher (or a prior run in this process) may
+        # already have joined the cluster — reuse it instead of failing.
+        try:
+            jax.distributed.initialize(coordinator_address=args.coordinator,
+                                       num_processes=args.num_processes,
+                                       process_id=args.process_id)
+        except RuntimeError:
+            # Reuse a live cluster only if it matches what was asked for;
+            # anything else (backend touched before init, wrong topology)
+            # is a real error.
+            if (jax.process_count() != args.num_processes
+                    or jax.process_index() != args.process_id):
+                raise
 
     from sam_audio_tpu.train.flow_matching import (DEFAULT_FROZEN_PREFIXES,
                                                    Trainer, synthetic_batch)

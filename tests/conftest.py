@@ -12,9 +12,15 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is compile-bound (hundreds of tiny-shape programs on a 2-CPU
+# host); dialing LLVM optimization to 0 halves compile time (measured
+# 94.7 s -> 47.1 s on the grad-accum test) without changing semantics —
+# correctness tolerances are unaffected, and perf is only ever measured on
+# the TPU via bench.py / mb_*.py, never under pytest.
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -97,6 +97,8 @@ def test_two_process_full_eval_loop(tmp_path):
     out_dir = str(tmp_path)
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    # 1 device per process, but keep fast compiles (2 workers, 2 CPUs)
+    env["XLA_FLAGS"] = "--xla_backend_optimization_level=0"
     worker = os.path.join(REPO_ROOT, "tests", "eval_mp_worker.py")
     procs = [
         subprocess.Popen(

@@ -17,6 +17,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -53,6 +54,9 @@ def _write_records(out_dir: str):
 def _spawn_workers(args, timeout):
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH")}
+    # no 8-device forcing in workers (1 device per process), but keep the
+    # fast-compile setting — the two workers share this host's 2 CPUs.
+    env["XLA_FLAGS"] = "--xla_backend_optimization_level=0"
     worker = os.path.join(REPO_ROOT, "tests", "train_mp_worker.py")
     procs = [
         subprocess.Popen(
@@ -113,10 +117,20 @@ def _single_process_reference(examples):
             "step": int(trainer.state.step)}
 
 
-def test_two_process_training_parity(tmp_path):
+@pytest.fixture(scope="module")
+def cluster(tmp_path_factory):
+    """ONE two-process cluster for the module: each worker runs the direct
+    Trainer path, then the CLI --coordinator path on the same connection
+    (one spawn + one jax import per process instead of two each)."""
+    tmp_path = tmp_path_factory.mktemp("mp_train")
     examples = _write_records(str(tmp_path / "records"))
     port = str(_free_port())
     results = _spawn_workers([port, str(tmp_path / "records")], timeout=600)
+    return examples, results
+
+
+def test_two_process_training_parity(cluster):
+    examples, results = cluster
 
     # every rank observes identical (replicated) losses and global norms
     assert results[0] == results[1], results
@@ -135,9 +149,9 @@ def test_two_process_training_parity(tmp_path):
     np.testing.assert_allclose(mp["ema_norm"], ref["ema_norm"], rtol=5e-4)
 
 
-def test_train_cli_coordinator_two_processes(tmp_path):
+def test_train_cli_coordinator_two_processes(cluster):
     """`python -m sam_audio_tpu.train --coordinator ...` across two real
-    processes (the CLI's multi-host wiring, train/__main__.py)."""
-    port = str(_free_port())
-    results = _spawn_workers([port, "unused", "--cli"], timeout=600)
-    assert all(r == {"rc": 0} for r in results), results
+    processes (the CLI's multi-host wiring, train/__main__.py — its
+    idempotent initialize reuses the fixture's live cluster)."""
+    _, results = cluster
+    assert all(r["cli_rc"] == 0 for r in results), results

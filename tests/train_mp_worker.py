@@ -10,10 +10,12 @@ one global array). The reference's only multi-process code is its eval loop
 (reference eval/main.py:53-60); this closes the same bar for the training
 extension (VERDICT r4 next-step #1).
 
-Usage: python train_mp_worker.py <rank> <coordinator_port> <records_dir> [--cli]
-Prints one line: `RESULT {"losses": [...], "param_norm": float, "step": int}`
-(--cli instead drives `python -m sam_audio_tpu.train`'s --coordinator path
-on synthetic batches and prints `RESULT {"rc": 0}`.)
+Usage: python train_mp_worker.py <rank> <coordinator_port> <records_dir>
+Runs BOTH distributed-training paths on one cluster (one spawn, one jax
+import per process): the direct Trainer run, then the CLI's --coordinator
+path (train/__main__.py, whose initialize is idempotent and reuses the
+cluster). Prints one line:
+`RESULT {"losses": [...], "param_norm": float, "step": int, "cli_rc": 0}`
 """
 
 import json
@@ -36,7 +38,7 @@ STEPS = 3
 LOCAL_BATCH = 2  # per process -> global batch 4 over dp=2
 
 
-def run_cli(rank: int, port: str) -> None:
+def run_cli(rank: int, port: str) -> int:
     """Exercise the CLI's --coordinator wiring end to end (argv -> main ->
     jax.distributed.initialize -> dp mesh -> steps)."""
     import dataclasses
@@ -55,10 +57,10 @@ def run_cli(rank: int, port: str) -> None:
         "--process-id", str(rank),
     ])
     os.unlink(cfg_path)
-    print("RESULT " + json.dumps({"rc": rc}), flush=True)
+    return rc
 
 
-def run_trainer(rank: int, records_dir: str) -> None:
+def run_trainer(rank: int, records_dir: str) -> dict:
     import numpy as np
     import optax
 
@@ -99,21 +101,21 @@ def run_trainer(rank: int, records_dir: str) -> None:
     # jit so cross-process shards reduce correctly; replicated result.
     pnorm = float(jax.jit(optax.global_norm)(trainer.state.params))
     enorm = float(jax.jit(optax.global_norm)(trainer.ema_inference_params()))
-    print("RESULT " + json.dumps({
+    return {
         "losses": losses, "param_norm": pnorm, "ema_norm": enorm,
         "step": int(trainer.state.step),
-    }), flush=True)
+    }
 
 
 def main() -> None:
     rank, port, records_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
-    cli = "--cli" in sys.argv[4:]
-    if cli:
-        run_cli(rank, port)  # main() initializes jax.distributed itself
-        return
     jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                                num_processes=2, process_id=rank)
-    run_trainer(rank, records_dir)
+    result = run_trainer(rank, records_dir)
+    # same cluster, second entry point: the CLI's --coordinator path reuses
+    # the already-initialized jax.distributed (idempotent init).
+    result["cli_rc"] = run_cli(rank, port)
+    print("RESULT " + json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
