@@ -532,7 +532,7 @@ class SAMAudio:
                     batch, k=k, rng=rng, preview_nfe=preview_nfe,
                     visual_stride=visual_stride,
                     predict_spans=predict_spans,
-                    limit_frames=limit_frames)
+                    limit_frames=limit_frames, ode_opt=ode_opt)
 
         # Long-lived processes that keep compiling new shape buckets
         # accumulate LLVM-JIT memory maps per executable (CPU backend);
@@ -680,8 +680,8 @@ class SAMAudio:
         return SeparationResult(target=target, residual=residual, noise=noise)
 
     def _separate_long(self, batch, k: int, rng, preview_nfe, visual_stride,
-                       predict_spans: bool,
-                       limit_frames: int) -> SeparationResult:
+                       predict_spans: bool, limit_frames: int,
+                       ode_opt=None) -> SeparationResult:
         """Route a batch whose clips exceed the direct-dispatch limit through
         streaming.py windows, one item at a time (each item may be hours
         long; windows reuse ONE warmed compiled program). The reference
@@ -716,6 +716,7 @@ class SAMAudio:
                 masked_video=(batch.masked_video[i]
                               if batch.masked_video is not None else None),
                 visual_stride=visual_stride,
+                ode_opt=ode_opt,
             )
             target.append(res.target[: sizes[i]])
             residual.append(res.residual[: sizes[i]])

@@ -55,6 +55,15 @@ class RequestTooLongError(ValueError):
     """Request exceeds the server's max duration policy (HTTP 413)."""
 
 
+class ClientRequestError(ValueError):
+    """A malformed request (bad JSON fields, undecodable audio payload) —
+    raised ONLY from request parsing/decoding, never from the model pipeline.
+    Errors surfaced from dispatch are deliberately NOT mapped to 400 by
+    exception type: a ValueError raised inside model.separate (e.g. a server
+    misconfiguration like predict_spans without a span predictor) is a
+    server fault and must be a logged 500, not the client's problem."""
+
+
 @dataclass
 class BatcherStats:
     """Counters the device thread updates after every dispatch."""
@@ -94,6 +103,13 @@ class BatcherStats:
         }
 
 
+class _ShutdownSentinel:
+    """Per-start() shutdown marker. Each device-thread generation only obeys
+    ITS OWN sentinel: a sentinel left in the queue by a timed-out shutdown()
+    of a previous generation is dropped instead of silently killing the next
+    device loop (which would leave every later future unresolved)."""
+
+
 class ContinuousBatcher:
     """Admission queue + single device thread with deadline-based batching.
 
@@ -106,8 +122,6 @@ class ContinuousBatcher:
     fill a whole batch.
     """
 
-    _SHUTDOWN = object()
-
     def __init__(self, model, processor: Optional[SAMAudioProcessor] = None,
                  max_batch: int = 4, bucket_seconds: float = 2.0,
                  max_wait_ms: float = 20.0, reranking_candidates: int = 1,
@@ -116,6 +130,7 @@ class ContinuousBatcher:
                  autostart: bool = True, max_queue: int = 256,
                  max_seconds: Optional[float] = None,
                  long_policy: str = "reject",
+                 max_stream_seconds: Optional[float] = 600.0,
                  streaming_window_s: float = 10.0,
                  pad_batch_sizes: bool = True):
         """Overload / over-length policy (production-honest serving):
@@ -129,6 +144,13 @@ class ContinuousBatcher:
           thread, so a long clip reuses the warmed fixed-window program
           instead of compiling an unbounded direct shape (XLA compiles are
           minutes on a relay-backed chip and would stall ALL traffic).
+          The limit snaps UP to the bucket grid: a request inside the top
+          warmed bucket runs the same compiled program at the same cost,
+          and warmup()'s own bucket-rounded dispatches must pass the check.
+        max_stream_seconds — hard cap for long_policy="stream" (HTTP 413
+          past it). Streamed requests run serially on the single device
+          thread; without a cap one multi-hour clip would head-of-line
+          block every other request past its timeout.
         pad_batch_sizes — pad each dispatched group up to the next warmed
           batch size (1, 2, 4, ... max_batch) by repeating the last item,
           so intermediate group sizes never trigger a fresh compile once
@@ -153,12 +175,14 @@ class ContinuousBatcher:
             raise ValueError(f"long_policy must be reject|stream, "
                              f"got {long_policy!r}")
         self.long_policy = long_policy
+        self.max_stream_seconds = max_stream_seconds
         self.streaming_window_s = float(streaming_window_s)
         self.pad_batch_sizes = bool(pad_batch_sizes)
         self.stats = BatcherStats()
         self._queue: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()  # guards stats
         self._thread: Optional[threading.Thread] = None
+        self._sentinel: Optional[_ShutdownSentinel] = None
         self._stopped = threading.Event()
         self._warmed: list = []
         from sam_audio_tpu.utils import map_guard
@@ -180,6 +204,7 @@ class ContinuousBatcher:
                     "first.")
             self._thread = None
         self._stopped.clear()
+        self._sentinel = _ShutdownSentinel()
         self._thread = threading.Thread(
             target=self._device_loop, name="sam-audio-batcher", daemon=True)
         self._thread.start()
@@ -188,8 +213,9 @@ class ContinuousBatcher:
         """Stop the device thread after draining already-queued requests."""
         if self._thread is None:
             return
-        self._queue.put(self._SHUTDOWN)
-        self._thread.join(timeout)
+        if self._thread.is_alive():
+            self._queue.put(self._sentinel)
+            self._thread.join(timeout)
         if self._thread.is_alive():
             # Join timed out (e.g. a multi-minute relay compile still in
             # flight). Keep the handle so a premature start() can refuse to
@@ -222,19 +248,54 @@ class ContinuousBatcher:
         # Over-length rejection happens at admission when the duration is
         # already known (in-memory audio); file paths are checked after
         # decode on the device thread (_dispatch).
-        if (self.max_seconds is not None and self.long_policy == "reject"
-                and not isinstance(request.audio, str)):
-            n = np.asarray(request.audio).shape[-1]
-            if n > self.max_seconds * self.model.sample_rate:
+        if not isinstance(request.audio, str):
+            n = int(np.asarray(request.audio).shape[-1])
+            err = self._too_long_error(n)
+            if err is not None:
                 with self._lock:
                     self.stats.rejected_too_long += 1
-                raise RequestTooLongError(
-                    f"request is {n / self.model.sample_rate:.1f}s; this "
-                    f"server accepts at most {self.max_seconds:.1f}s "
-                    "(long_policy=reject)")
+                raise err
         fut: "Future[SeparationResponse]" = Future()
         self._queue.put((request, fut, time.monotonic()))
         return fut
+
+    @property
+    def _direct_limit(self) -> Optional[int]:
+        """`max_seconds` in samples, snapped UP to the bucket grid: a request
+        inside the top warmed bucket runs the same compiled program at the
+        same cost, and warmup()'s own bucket-rounded dispatches must pass
+        the over-length check. Derived (not cached) so max_seconds stays
+        runtime-tunable."""
+        if self.max_seconds is None:
+            return None
+        unit = self.bucket_steps * self.model.hop_length
+        return max(unit, -(-int(self.max_seconds * self.model.sample_rate)
+                           // unit) * unit)
+
+    @property
+    def _stream_limit(self) -> Optional[int]:
+        if self.max_stream_seconds is None:
+            return None
+        return int(self.max_stream_seconds * self.model.sample_rate)
+
+    def _too_long_error(self, n_samples: int) -> Optional[RequestTooLongError]:
+        """The over-length policy for an `n_samples`-long request, or None if
+        it is admissible. Direct dispatch is bounded by the bucket-aligned
+        `max_seconds`; long_policy="stream" extends admission up to
+        `max_stream_seconds`."""
+        sr = self.model.sample_rate
+        if self._direct_limit is None or n_samples <= self._direct_limit:
+            return None
+        if self.long_policy == "reject":
+            return RequestTooLongError(
+                f"request is {n_samples / sr:.1f}s; this server accepts at "
+                f"most {self._direct_limit / sr:.1f}s (long_policy=reject)")
+        if self._stream_limit is not None and n_samples > self._stream_limit:
+            return RequestTooLongError(
+                f"request is {n_samples / sr:.1f}s; this server streams "
+                f"over-length requests only up to "
+                f"{self.max_stream_seconds:.0f}s (max_stream_seconds)")
+        return None
 
     def separate(self, request: SeparationRequest,
                  timeout: Optional[float] = None) -> SeparationResponse:
@@ -261,9 +322,13 @@ class ContinuousBatcher:
         bucket planner may split mixed-length requests into several groups,
         and collecting only max_batch would leave same-bucket requests
         stranded in the queue as singletons). Returns None on shutdown."""
-        item = self._queue.get()
-        if item is self._SHUTDOWN:
-            return None
+        while True:
+            item = self._queue.get()
+            if isinstance(item, _ShutdownSentinel):
+                if item is self._sentinel:
+                    return None
+                continue  # stale sentinel from a previous generation
+            break
         pending = [item]
         deadline = time.monotonic() + self.max_wait_ms / 1e3
         while len(pending) < 8 * self.max_batch:
@@ -272,10 +337,12 @@ class ContinuousBatcher:
                 nxt = self._queue.get(timeout=max(wait, 0.0))
             except queue.Empty:
                 break
-            if nxt is self._SHUTDOWN:
-                # Re-post so the loop exits after this dispatch drains.
-                self._queue.put(self._SHUTDOWN)
-                break
+            if isinstance(nxt, _ShutdownSentinel):
+                if nxt is self._sentinel:
+                    # Re-post so the loop exits after this dispatch drains.
+                    self._queue.put(nxt)
+                    break
+                continue  # stale: drop it
             pending.append(nxt)
         return pending
 
@@ -296,7 +363,8 @@ class ContinuousBatcher:
         grid.append(self.max_batch)
         return grid
 
-    def _dispatch_streaming(self, req, fut, t0, wav: np.ndarray):
+    def _dispatch_streaming(self, req, fut, t0, wav: np.ndarray,
+                            record_stats: bool = True):
         """Run one over-length request through streaming.py windows (device
         thread): the warmed fixed-window program handles any duration, so a
         10-minute clip never compiles a new direct shape."""
@@ -313,53 +381,58 @@ class ContinuousBatcher:
                 visual_stride=self.visual_stride)
         except Exception as e:  # noqa: BLE001 — isolate request faults
             fut.set_exception(e)
-            with self._lock:
-                self.stats.requests += 1
-                self.stats.failed_requests += 1
+            if record_stats:
+                with self._lock:
+                    self.stats.requests += 1
+                    self.stats.failed_requests += 1
             return
         now = time.monotonic()
         fut.set_result(SeparationResponse(
             target=np.asarray(res.target), residual=np.asarray(res.residual),
             metadata={"streamed": True, "num_windows": res.num_windows}))
-        with self._lock:
-            s = self.stats
-            s.requests += 1
-            s.streamed_requests += 1
-            s.latency_ms.append((now - t0) * 1e3)
-            del s.latency_ms[:-1024]
+        if record_stats:
+            with self._lock:
+                s = self.stats
+                s.requests += 1
+                s.streamed_requests += 1
+                s.latency_ms.append((now - t0) * 1e3)
+                del s.latency_ms[:-1024]
 
-    def _dispatch(self, pending: list):
-        # Per-request host decode: a bad file fails ONLY that future.
+    def _dispatch(self, pending: list, record_stats: bool = True):
+        # Per-request host decode: a bad file fails ONLY that future — as a
+        # client fault (decode is purely a function of the request payload).
         live, wavs = [], []
         for req, fut, t0 in pending:
             try:
                 wavs.append(self._decode(req))
                 live.append((req, fut, t0))
             except Exception as e:  # noqa: BLE001 — isolate request faults
-                fut.set_exception(e)
-                with self._lock:
-                    self.stats.requests += 1
-                    self.stats.failed_requests += 1
-        # Over-length policy, post-decode (covers file-path requests whose
-        # duration is unknown at admission).
-        if self.max_seconds is not None and live:
-            limit = int(self.max_seconds * self.model.sample_rate)
-            short = []
-            for (req, fut, t0), wav in zip(live, wavs):
-                if wav.shape[-1] <= limit:
-                    short.append(((req, fut, t0), wav))
-                elif self.long_policy == "stream":
-                    self._dispatch_streaming(req, fut, t0, wav)
-                else:
-                    fut.set_exception(RequestTooLongError(
-                        f"request is "
-                        f"{wav.shape[-1] / self.model.sample_rate:.1f}s; "
-                        f"this server accepts at most "
-                        f"{self.max_seconds:.1f}s (long_policy=reject)"))
+                fut.set_exception(ClientRequestError(
+                    f"audio decode failed: {type(e).__name__}: {e}"))
+                if record_stats:
                     with self._lock:
                         self.stats.requests += 1
                         self.stats.failed_requests += 1
-                        self.stats.rejected_too_long += 1
+        # Over-length policy, post-decode (covers file-path requests whose
+        # duration is unknown at admission).
+        if self._direct_limit is not None and live:
+            short = []
+            for (req, fut, t0), wav in zip(live, wavs):
+                n = int(wav.shape[-1])
+                if n <= self._direct_limit:
+                    short.append(((req, fut, t0), wav))
+                    continue
+                err = self._too_long_error(n)
+                if err is None:  # long_policy=stream, within the cap
+                    self._dispatch_streaming(req, fut, t0, wav,
+                                             record_stats=record_stats)
+                else:
+                    fut.set_exception(err)
+                    if record_stats:
+                        with self._lock:
+                            self.stats.requests += 1
+                            self.stats.failed_requests += 1
+                            self.stats.rejected_too_long += 1
             live = [lw[0] for lw in short]
             wavs = [lw[1] for lw in short]
         if not live:
@@ -401,9 +474,10 @@ class ContinuousBatcher:
             except Exception as e:  # noqa: BLE001 — fail the batch, not the loop
                 for fut in futs:
                     fut.set_exception(e)
-                with self._lock:
-                    self.stats.requests += len(futs)
-                    self.stats.failed_requests += len(futs)
+                if record_stats:
+                    with self._lock:
+                        self.stats.requests += len(futs)
+                        self.stats.failed_requests += len(futs)
                 continue
             now = time.monotonic()
             for j, fut in enumerate(futs):
@@ -412,6 +486,8 @@ class ContinuousBatcher:
                     residual=np.asarray(result.residual[j]),
                     metadata={"bucket": bucket, "batch_size": n_true,
                               "dispatch_size": pad_to}))
+            if not record_stats:
+                continue
             with self._lock:
                 s = self.stats
                 s.requests += n_true
@@ -432,8 +508,8 @@ class ContinuousBatcher:
         thread starts, with exact batch sizes (queue-based warmup could
         coalesce into unintended sizes — ADVICE r4). Also records the warmed
         shape set so a mid-serving map_guard cache clear triggers an
-        automatic re-warm on the device thread. Resets stats afterwards so
-        counters reflect real traffic only."""
+        automatic re-warm on the device thread. Warm dispatches do not touch
+        the traffic counters."""
         if self._thread is not None and self._thread.is_alive():
             raise RuntimeError(
                 "warmup() must run before start(): warmup compiles must not "
@@ -461,15 +537,11 @@ class ContinuousBatcher:
              Future(), time.monotonic())
             for _ in range(b)
         ]
-        # Warm dispatches must not pollute the traffic counters: swap in a
-        # throwaway stats object for the duration.
-        with self._lock:
-            real, self.stats = self.stats, BatcherStats()
-        try:
-            self._dispatch(pending)
-        finally:
-            with self._lock:
-                self.stats = real
+        # record_stats=False: warm dispatches must not pollute the traffic
+        # counters. (Swapping in a throwaway stats object would also drop
+        # CONCURRENT counter updates — e.g. 429s rejected during a
+        # mid-serving re-warm — and expose zeroed /v1/stats meanwhile.)
+        self._dispatch(pending, record_stats=False)
         for _, fut, _ in pending:
             fut.result(timeout=0)  # surface warmup failures loudly
 
@@ -566,9 +638,9 @@ def _status_for(exc: BaseException) -> int:
     """Error taxonomy: client faults are 4xx, server faults 5xx.
 
     - 429 overload (bounded admission queue full)
-    - 413 over-length (long_policy=reject)
+    - 413 over-length (long_policy=reject, or past max_stream_seconds)
     - 504 request timed out in the queue/device pipeline
-    - 400 malformed request (bad JSON, missing fields, bad audio payload)
+    - 400 malformed request (ClientRequestError from parsing only)
     - 500 anything else (a server-side fault is NOT the client's error)
     """
     import concurrent.futures
@@ -579,9 +651,7 @@ def _status_for(exc: BaseException) -> int:
         return 413
     if isinstance(exc, (concurrent.futures.TimeoutError, TimeoutError)):
         return 504
-    if isinstance(exc, (KeyError, ValueError, TypeError,
-                        json.JSONDecodeError, base64.binascii.Error,
-                        FileNotFoundError)):
+    if isinstance(exc, (ClientRequestError, json.JSONDecodeError)):
         return 400
     return 500
 
@@ -652,21 +722,27 @@ class SeparationServer:
 
     def handle(self, req: dict) -> dict:
         """Process one /v1/separate JSON body (also callable in-process)."""
-        desc = req["description"]
-        if "audio_wav_b64" in req:
-            wav, sr = _wav_b64_to_array(req["audio_wav_b64"])
-        else:
-            wav = np.asarray(req["audio"], np.float32)
-            if wav.ndim == 1:
-                wav = wav[None]
-            sr = int(req.get("sample_rate", self.batcher.model.sample_rate))
-        if sr != self.batcher.model.sample_rate:
-            from sam_audio_tpu.ops.resample import resample_np
+        try:
+            desc = req["description"]
+            if "audio_wav_b64" in req:
+                wav, sr = _wav_b64_to_array(req["audio_wav_b64"])
+            else:
+                wav = np.asarray(req["audio"], np.float32)
+                if wav.ndim == 1:
+                    wav = wav[None]
+                sr = int(req.get("sample_rate",
+                                 self.batcher.model.sample_rate))
+            if sr != self.batcher.model.sample_rate:
+                from sam_audio_tpu.ops.resample import resample_np
 
-            wav = resample_np(wav, sr, self.batcher.model.sample_rate)
-        anchors = None
-        if req.get("anchors"):
-            anchors = [tuple(a) for a in req["anchors"]]
+                wav = resample_np(wav, sr, self.batcher.model.sample_rate)
+            anchors = None
+            if req.get("anchors"):
+                anchors = [tuple(a) for a in req["anchors"]]
+        except (KeyError, ValueError, TypeError,
+                base64.binascii.Error) as e:
+            # parsing faults only — see ClientRequestError
+            raise ClientRequestError(f"{type(e).__name__}: {e}") from e
         out = self.batcher.separate(
             SeparationRequest(description=desc, audio=wav, anchors=anchors),
             timeout=self.request_timeout)
@@ -724,6 +800,11 @@ def _main(argv: Optional[Sequence[str]] = None):
     ap.add_argument("--long-policy", choices=("reject", "stream"),
                     default="stream",
                     help="over-length requests: 413, or streaming windows")
+    ap.add_argument("--max-stream-seconds", type=float, default=600.0,
+                    help="hard cap for long_policy=stream (413 past it); "
+                         "streamed requests run serially on the device "
+                         "thread, so an uncapped clip would head-of-line "
+                         "block all other traffic")
     ap.add_argument("--int8", action="store_true")
     args = ap.parse_args(argv)
 
@@ -745,6 +826,7 @@ def _main(argv: Optional[Sequence[str]] = None):
         reranking_candidates=args.candidates,
         max_queue=args.max_queue, max_seconds=max_seconds,
         long_policy=args.long_policy,
+        max_stream_seconds=args.max_stream_seconds,
         streaming_window_s=(max(args.warmup_seconds)
                             if args.warmup_seconds else 10.0),
         autostart=False)

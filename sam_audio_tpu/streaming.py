@@ -56,6 +56,7 @@ def separate_streaming(
     preview_nfe: Optional[int] = None,
     masked_video: Optional[np.ndarray] = None,
     visual_stride: int = 1,
+    ode_opt: Optional[dict] = None,
 ) -> StreamingResult:
     """audio: (T,) or (channels, T) at model.sample_rate. Returns full-length
     target/residual. Anchors are in absolute seconds and are clipped per
@@ -103,7 +104,7 @@ def separate_streaming(
         )
         res = model.separate(batch, reranking_candidates=reranking_candidates,
                              rng=rng, preview_nfe=preview_nfe,
-                             visual_stride=visual_stride)
+                             visual_stride=visual_stride, ode_opt=ode_opt)
         return StreamingResult(res.target[0], res.residual[0], 1)
 
     n_windows = 1 + math.ceil((total - win) / stride)
@@ -183,7 +184,7 @@ def separate_streaming(
         ])
         res = model.separate(batch, reranking_candidates=k, noise=noise,
                              preview_nfe=preview_nfe,
-                             visual_stride=visual_stride)
+                             visual_stride=visual_stride, ode_opt=ode_opt)
         return group, starts, res
 
     # Double-buffered pipeline (TODO item 6): one worker thread keeps the

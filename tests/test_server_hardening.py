@@ -121,16 +121,24 @@ def test_long_policy_stream_routes_through_windows():
 def test_status_taxonomy():
     import concurrent.futures
 
+    from sam_audio_tpu.server import ClientRequestError
+
     assert _status_for(ServerOverloadedError("x")) == 429
     assert _status_for(RequestTooLongError("x")) == 413
     assert _status_for(concurrent.futures.TimeoutError()) == 504
     assert _status_for(TimeoutError()) == 504
-    assert _status_for(KeyError("description")) == 400
-    assert _status_for(ValueError("bad")) == 400
-    assert _status_for(FileNotFoundError("nope.wav")) == 400
+    assert _status_for(ClientRequestError("missing field")) == 400
+    # untyped exceptions from the DISPATCH pipeline are server faults: a
+    # ValueError from model.separate (e.g. predict_spans without a span
+    # predictor — a server misconfiguration) must be a logged 500, never
+    # blamed on the client as a 400
+    assert _status_for(KeyError("description")) == 500
+    assert _status_for(ValueError("bad")) == 500
+    assert _status_for(FileNotFoundError("nope.wav")) == 500
     assert _status_for(RuntimeError("XLA fell over")) == 500
     # RequestTooLongError is a ValueError subclass: 413 must win (order)
     assert issubclass(RequestTooLongError, ValueError)
+    assert issubclass(ClientRequestError, ValueError)
 
 
 @pytest.fixture()
@@ -300,3 +308,159 @@ def test_map_guard_clear_triggers_rewarm():
     batcher.shutdown()
     assert warmed == [(80, 1), (80, 2)]  # the recorded grid, re-warmed
     assert batcher.stats_snapshot()["map_guard_clears"] == 1
+
+
+# -- review-hardening regressions (round 5) ----------------------------------
+
+
+def test_warmup_passes_over_length_policy():
+    """warmup() crafts bucket-rounded audio; if max_seconds is not on the
+    bucket grid, the warm dispatch itself used to be caught by the
+    over-length policy (reject: warmup crashed; stream: the direct shape
+    silently never compiled). The limit now snaps UP to the bucket grid."""
+    # tiny model: sr=8000, hop=8; bucket 0.02 s = 160 samples; max 0.015 s
+    # (120 samples) rounds UP to one bucket (160)
+    for policy in ("reject", "stream"):
+        batcher = make_batcher(autostart=False, bucket_seconds=0.02,
+                               max_seconds=0.015, long_policy=policy,
+                               streaming_window_s=0.02)
+        batcher.warmup(seconds=[0.015])  # must not crash or stream
+        # a request inside the warmed bucket is direct-dispatched
+        fut = batcher.submit(_req(n=150))
+        batcher.start()
+        out = fut.result(timeout=300)
+        assert out.metadata.get("streamed") is None, policy
+        batcher.shutdown()
+
+
+def test_stale_shutdown_sentinel_does_not_kill_next_thread():
+    """A shutdown() whose join times out leaves its sentinel in the queue;
+    a later device thread must DROP that stale sentinel instead of exiting
+    on it (which would leave every subsequent future unresolved)."""
+    batcher = make_batcher(autostart=False)
+    release = threading.Event()
+    orig = batcher.model.separate
+
+    def slow(batch, **kw):
+        release.wait(30)
+        return orig(batch, **kw)
+
+    batcher.model.separate = slow
+    fut = batcher.submit(_req())
+    batcher.start()
+    time.sleep(0.2)  # device thread is inside the slow dispatch
+    batcher.shutdown(timeout=0.1)   # sentinel S1 queued, join times out
+    batcher.shutdown(timeout=0.1)   # second sentinel S1 queued (still alive)
+    release.set()
+    assert np.isfinite(fut.result(timeout=300).target).all()
+    batcher._thread.join(30)        # exits on the FIRST sentinel
+    assert not batcher._thread.is_alive()
+    batcher.model.separate = orig
+    # restart: the stale second sentinel must be dropped, not obeyed
+    batcher.start()
+    out = batcher.separate(_req(), timeout=300)
+    assert np.isfinite(out.target).all()
+    batcher.shutdown()
+
+
+def test_stream_policy_caps_duration():
+    """long_policy=stream must still bound admission: streamed requests run
+    serially on the single device thread, so an uncapped clip would
+    head-of-line block all other traffic."""
+    batcher = make_batcher(autostart=False, max_seconds=0.02,
+                           long_policy="stream", max_stream_seconds=0.1,
+                           streaming_window_s=0.02)
+    # past the stream cap: rejected at admission (known duration)
+    with pytest.raises(RequestTooLongError, match="max_stream_seconds"):
+        batcher.submit(_req(n=2000))  # 0.25 s > 0.1 s cap
+    assert batcher.stats_snapshot()["rejected_too_long"] == 1
+    # between the direct limit and the cap: streams
+    fut = batcher.submit(_req(n=600))  # 0.075 s
+    batcher.start()
+    out = fut.result(timeout=600)
+    assert out.metadata["streamed"] is True
+    batcher.shutdown()
+
+
+def test_dispatch_value_error_is_500_not_400():
+    """A ValueError raised inside the model pipeline (server misconfig) must
+    surface as 500, not be blamed on the client as 400."""
+    batcher = make_batcher(autostart=False)
+
+    def misconfigured(batch, **kw):
+        raise ValueError("predict_spans=True but no span predictor "
+                         "is attached")
+
+    batcher.model.separate = misconfigured
+    server = SeparationServer(batcher, host="127.0.0.1", port=0,
+                              request_timeout=30)
+    server.start()
+    batcher.start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post_raw(server.port, {"description": "x", "audio": [0.0] * 64})
+        assert ei.value.code == 500
+    finally:
+        server.shutdown()
+        batcher.shutdown()
+
+
+def test_rewarm_does_not_zero_live_stats():
+    """During a mid-serving re-warm, concurrent counter updates (e.g. 429s
+    from rejected bursts) must land on the REAL stats object — the old
+    stats-swap discarded them and exposed zeroed /v1/stats meanwhile."""
+    from sam_audio_tpu.utils import map_guard
+
+    batcher = make_batcher(autostart=False, max_batch=1, max_queue=1)
+    batcher.warmup(seconds=[0.01])
+    entered = threading.Event()
+    release = threading.Event()
+
+    def slow_warm(n, b):
+        entered.set()
+        release.wait(30)
+
+    batcher._warm_one = slow_warm
+    map_guard._clear_count += 1
+    fut = batcher.submit(_req())
+    batcher.start()
+    assert np.isfinite(fut.result(timeout=300).target).all()
+    assert entered.wait(30)  # device thread is now re-warming
+    # overload rejection during the re-warm must be counted
+    batcher.submit(_req())
+    with pytest.raises(ServerOverloadedError):
+        batcher.submit(_req())
+    stats = batcher.stats_snapshot()
+    assert stats["rejected_overload"] == 1
+    assert stats["requests"] == 1  # the pre-warm request is still on record
+    release.set()
+    batcher.shutdown()
+
+
+def test_separate_long_forwards_ode_opt():
+    """ode_opt must survive the long-audio auto-dispatch: each streaming
+    window re-enters separate() with the caller's solver options, not the
+    defaults."""
+    model = make_model()
+    seen = []
+    orig = model.separate
+
+    def spy(batch, **kw):
+        seen.append(kw.get("ode_opt"))
+        return orig(batch, **kw)
+
+    model.separate = spy
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    sr = model.sample_rate
+    hop = model.hop_length
+    cfg = model.cfg
+    n = cfg.transformer.max_positions * hop * 2  # past the direct limit
+    proc = SAMAudioProcessor(audio_hop_length=hop, audio_sampling_rate=sr)
+    batch = proc(descriptions=["dog"], audios=[np.zeros((1, n), np.float32)])
+    opt = {"method": "midpoint", "step_size": 1.0}
+    res = model.separate(batch, rng=jax.random.PRNGKey(0), ode_opt=opt)
+    assert res.target[0].shape == (n,)
+    # the outer call saw `opt`; every window re-entry saw the SAME dict
+    assert seen[0] == opt
+    assert len(seen) > 1 and all(s == opt for s in seen[1:])
