@@ -86,9 +86,11 @@ def main():
     map_guard.maybe_clear_caches(threshold=1)
     first = req_ms()   # this request pays its own shape's recompile
     t0 = time.time()
-    # wait for the device thread to finish re-warming (it runs right after
-    # the dispatch above), then measure traffic
-    while batcher.stats_snapshot()["map_guard_clears"] < 2 and \
+    # Wait for the device thread to FINISH re-warming before measuring:
+    # map_guard_rewarms is incremented only after the re-warm work completes
+    # (map_guard_clears ticks at the START of the re-warm, so polling it
+    # would race the multi-second re-warm and fold its tail into `after`).
+    while batcher.stats_snapshot()["map_guard_rewarms"] < 1 and \
             time.time() - t0 < 1200:
         time.sleep(0.5)
     after = [req_ms() for _ in range(2)]

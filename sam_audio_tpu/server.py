@@ -71,9 +71,14 @@ class BatcherStats:
     requests: int = 0
     failed_requests: int = 0
     rejected_overload: int = 0  # 429s at admission
-    rejected_too_long: int = 0  # 413s (long_policy=reject)
+    rejected_too_long: int = 0  # 413s — NOT counted in requests/failed
+    # (over-length rejects bump ONLY rejected_too_long, whether caught at
+    # admission or post-decode, so failure-rate dashboards don't shift with
+    # how clients encode audio — inline array vs file path)
     streamed_requests: int = 0  # routed through streaming windows
     map_guard_clears: int = 0   # compile-cache clears observed mid-serving
+    map_guard_rewarms: int = 0  # re-warms COMPLETED after a clear
+    rewarm_failures: int = 0    # shapes that failed to re-warm (loop survives)
     batches: int = 0
     batched_requests: int = 0  # sum of dispatched batch sizes
     batch_size_hist: dict = field(default_factory=dict)
@@ -93,6 +98,8 @@ class BatcherStats:
             "rejected_too_long": self.rejected_too_long,
             "streamed_requests": self.streamed_requests,
             "map_guard_clears": self.map_guard_clears,
+            "map_guard_rewarms": self.map_guard_rewarms,
+            "rewarm_failures": self.rewarm_failures,
             "queue_depth": queue_depth,
             "batches": self.batches,
             "mean_batch_size": (self.batched_requests / self.batches
@@ -181,6 +188,7 @@ class ContinuousBatcher:
         self.stats = BatcherStats()
         self._queue: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()  # guards stats
+        self._admit_lock = threading.Lock()  # makes the bound check atomic
         self._thread: Optional[threading.Thread] = None
         self._sentinel: Optional[_ShutdownSentinel] = None
         self._stopped = threading.Event()
@@ -239,12 +247,6 @@ class ContinuousBatcher:
         return self._queue.qsize()
 
     def submit(self, request: SeparationRequest) -> "Future[SeparationResponse]":
-        if self.max_queue and self._queue.qsize() >= self.max_queue:
-            with self._lock:
-                self.stats.rejected_overload += 1
-            raise ServerOverloadedError(
-                f"admission queue full ({self._queue.qsize()} >= "
-                f"{self.max_queue} waiting requests)")
         # Over-length rejection happens at admission when the duration is
         # already known (in-memory audio); file paths are checked after
         # decode on the device thread (_dispatch).
@@ -256,21 +258,40 @@ class ContinuousBatcher:
                     self.stats.rejected_too_long += 1
                 raise err
         fut: "Future[SeparationResponse]" = Future()
-        self._queue.put((request, fut, time.monotonic()))
+        # Check-then-put must be atomic: without the lock, M concurrent
+        # submitters could all observe qsize()==max_queue-1 and push the
+        # queue to max_queue-1+M, softening the 429 bound exactly under the
+        # overload it exists for.
+        with self._admit_lock:
+            if self.max_queue and self._queue.qsize() >= self.max_queue:
+                with self._lock:
+                    self.stats.rejected_overload += 1
+                raise ServerOverloadedError(
+                    f"admission queue full ({self._queue.qsize()} >= "
+                    f"{self.max_queue} waiting requests)")
+            self._queue.put((request, fut, time.monotonic()))
         return fut
+
+    def _ceil_to_bucket(self, seconds: float) -> int:
+        """`seconds` in samples, rounded UP to the bucket grid (minimum one
+        bucket). The over-length limit (`_direct_limit`) and `warmup()`'s
+        dispatch sizes MUST share this exact rounding: warmup's own
+        bucket-rounded dispatches have to pass the over-length check they
+        warm (tests/test_server_hardening.py::test_warmup_passes_over_length
+        _policy guards the invariant)."""
+        unit = self.bucket_steps * self.model.hop_length
+        return max(unit, -(-int(seconds * self.model.sample_rate)
+                           // unit) * unit)
 
     @property
     def _direct_limit(self) -> Optional[int]:
         """`max_seconds` in samples, snapped UP to the bucket grid: a request
         inside the top warmed bucket runs the same compiled program at the
-        same cost, and warmup()'s own bucket-rounded dispatches must pass
-        the over-length check. Derived (not cached) so max_seconds stays
+        same cost. Derived (not cached) so max_seconds stays
         runtime-tunable."""
         if self.max_seconds is None:
             return None
-        unit = self.bucket_steps * self.model.hop_length
-        return max(unit, -(-int(self.max_seconds * self.model.sample_rate)
-                           // unit) * unit)
+        return self._ceil_to_bucket(self.max_seconds)
 
     @property
     def _stream_limit(self) -> Optional[int]:
@@ -352,7 +373,10 @@ class ContinuousBatcher:
             if pending is None:
                 return
             self._dispatch(pending)
-            self._maybe_rewarm()
+            try:
+                self._maybe_rewarm()
+            except Exception:  # noqa: BLE001 — the device loop must survive
+                logger.exception("re-warm pass failed; continuing to serve")
 
     def _batch_grid(self) -> list:
         """Warmed batch sizes: 1, 2, 4, ... plus max_batch itself."""
@@ -368,12 +392,20 @@ class ContinuousBatcher:
         """Run one over-length request through streaming.py windows (device
         thread): the warmed fixed-window program handles any duration, so a
         10-minute clip never compiles a new direct shape."""
+        import jax
+
         from sam_audio_tpu.streaming import separate_streaming
 
         try:
+            # Fresh noise per request, like the direct path (separate() draws
+            # a fresh seed when rng=None; separate_streaming defaults to a
+            # FIXED PRNGKey(0), which would give every streamed request the
+            # identical noise stream).
+            rng = jax.random.PRNGKey(np.random.randint(0, 2**31 - 1))
             res = separate_streaming(
                 self.model, req.description, wav,
                 window_s=self.streaming_window_s,
+                rng=rng,
                 anchors=req.anchors,
                 reranking_candidates=self.reranking_candidates,
                 preview_nfe=self.preview_nfe,
@@ -429,9 +461,11 @@ class ContinuousBatcher:
                 else:
                     fut.set_exception(err)
                     if record_stats:
+                        # Same accounting as an admission-time 413: ONLY
+                        # rejected_too_long — counting it in requests/
+                        # failed_requests would make the failure rate depend
+                        # on whether the client sent a path or an array.
                         with self._lock:
-                            self.stats.requests += 1
-                            self.stats.failed_requests += 1
                             self.stats.rejected_too_long += 1
             live = [lw[0] for lw in short]
             wavs = [lw[1] for lw in short]
@@ -459,7 +493,11 @@ class ContinuousBatcher:
                 batch = self.processor(
                     descriptions=[r.description for r in reqs],
                     audios=[wavs[i] for i in idx],
-                    anchors=[r.anchors for r in reqs]
+                    # `or []`: a batch mixing anchored and anchor-less
+                    # requests must not pass None entries to the processor
+                    # (process_anchors iterates each row's anchor list; an
+                    # empty list yields the same <null> row as no anchors).
+                    anchors=[r.anchors or [] for r in reqs]
                     if any(r.anchors for r in reqs) else None,
                     masked_videos=[r.masked_video for r in reqs]
                     if any(r.masked_video is not None for r in reqs)
@@ -514,11 +552,10 @@ class ContinuousBatcher:
             raise RuntimeError(
                 "warmup() must run before start(): warmup compiles must not "
                 "race the device thread over the XLA caches")
-        unit = self.model.hop_length * self.bucket_steps
         sizes = sorted(set(batch_sizes or self._batch_grid()))
         self._warmed = []
         for sec in seconds:
-            n = max(unit, -(-int(sec * self.model.sample_rate) // unit) * unit)
+            n = self._ceil_to_bucket(sec)
             for b in sizes:
                 self._warm_one(n, b)
                 self._warmed.append((n, b))
@@ -579,12 +616,31 @@ class ContinuousBatcher:
         logger.warning("map_guard cleared compiled programs mid-serving; "
                        "re-warming %d shapes", len(warmed))
         t0 = time.monotonic()
+        failures = 0
         for item in warmed:
-            if item[0] == "streaming":
-                self._warm_streaming()
-            else:
-                self._warm_one(*item)
-        logger.warning("re-warm complete in %.1fs", time.monotonic() - t0)
+            # Per-shape isolation: a re-warm failure (e.g. the operator
+            # lowered max_seconds at runtime so a recorded shape now trips
+            # the over-length policy, or a transient backend error) must
+            # degrade to "that shape compiles on first use" — NOT escape
+            # _device_loop and kill the single device thread, which would
+            # hang every queued and future request forever.
+            try:
+                if item[0] == "streaming":
+                    self._warm_streaming()
+                else:
+                    self._warm_one(*item)
+            except Exception:  # noqa: BLE001 — survive, serve, log
+                failures += 1
+                logger.exception("re-warm failed for shape %r "
+                                 "(will compile on first use)", item)
+        with self._lock:
+            self.stats.rewarm_failures += failures
+            # Incremented AFTER the re-warm work: pollers (mb_map_guard.py)
+            # key on this to know post-clear serving is actually warm again.
+            self.stats.map_guard_rewarms += 1
+        logger.warning("re-warm complete in %.1fs (%d/%d shapes)",
+                       time.monotonic() - t0, len(warmed) - failures,
+                       len(warmed))
 
     def stats_snapshot(self) -> dict:
         with self._lock:

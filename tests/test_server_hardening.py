@@ -437,6 +437,130 @@ def test_rewarm_does_not_zero_live_stats():
     batcher.shutdown()
 
 
+def test_mixed_anchor_batch_serves_both():
+    """A batch coalescing an anchored and an anchor-less request must serve
+    BOTH: a None entry in the processor's anchors list used to raise inside
+    process_anchors and fail the whole batch (including the innocent
+    anchor-less request)."""
+    batcher = make_batcher(autostart=False, max_batch=4, max_wait_ms=50.0)
+    fa = batcher.submit(SeparationRequest(
+        description="a", audio=np.zeros((1, 64), np.float32),
+        anchors=[("+", 0.0, 0.005)]))
+    fb = batcher.submit(_req(n=64, desc="b"))
+    batcher.start()
+    out_a = fa.result(timeout=300)
+    out_b = fb.result(timeout=300)
+    batcher.shutdown()
+    assert np.isfinite(out_a.target).all()
+    assert np.isfinite(out_b.target).all()
+    # they really were co-batched (one dispatch group)
+    assert batcher.stats_snapshot()["batches"] == 1
+
+
+def test_failed_rewarm_does_not_kill_device_thread():
+    """A shape that fails to re-warm after a map_guard clear must degrade to
+    compile-on-first-use — NOT escape _device_loop and kill the single
+    device thread (hanging every later request)."""
+    from sam_audio_tpu.utils import map_guard
+
+    batcher = make_batcher(autostart=False, max_batch=2)
+    batcher.warmup(seconds=[0.01])
+
+    def broken_warm(n, b):
+        raise RuntimeError("recorded shape no longer admissible")
+
+    batcher._warm_one = broken_warm
+    map_guard._clear_count += 1
+    fut = batcher.submit(_req())
+    batcher.start()
+    assert np.isfinite(fut.result(timeout=300).target).all()
+    # wait for the re-warm pass (which fails per-shape) to complete
+    deadline = time.monotonic() + 30
+    while (batcher.stats_snapshot()["map_guard_rewarms"] < 1
+           and time.monotonic() < deadline):
+        time.sleep(0.01)
+    stats = batcher.stats_snapshot()
+    assert stats["map_guard_rewarms"] == 1
+    assert stats["rewarm_failures"] == 2  # both grid shapes failed
+    # the device thread survived: traffic still flows
+    out = batcher.separate(_req(), timeout=300)
+    assert np.isfinite(out.target).all()
+    batcher.shutdown()
+    assert not batcher._thread.is_alive() if batcher._thread else True
+
+
+def test_streamed_requests_get_fresh_noise():
+    """The streaming route must draw fresh noise per request like the direct
+    route (separate_streaming's default is a FIXED PRNGKey(0), which would
+    give every streamed production request the identical noise stream)."""
+    import sam_audio_tpu.streaming as streaming_mod
+
+    batcher = make_batcher(autostart=False, max_seconds=0.02,
+                           long_policy="stream", streaming_window_s=0.02)
+    seen = []
+    orig = streaming_mod.separate_streaming
+
+    def spy(model, description, wav, **kw):
+        seen.append(kw.get("rng"))
+        return orig(model, description, wav, **kw)
+
+    streaming_mod.separate_streaming = spy
+    try:
+        f1 = batcher.submit(_req(n=600))
+        f2 = batcher.submit(_req(n=600))
+        batcher.start()
+        f1.result(timeout=600)
+        f2.result(timeout=600)
+    finally:
+        streaming_mod.separate_streaming = orig
+        batcher.shutdown()
+    assert len(seen) == 2
+    assert seen[0] is not None and seen[1] is not None
+    assert not np.array_equal(np.asarray(seen[0]), np.asarray(seen[1]))
+
+
+def test_admission_bound_atomic_under_concurrent_burst():
+    """N threads submitting through a full-enough queue must not push it past
+    max_queue: the check-then-put is atomic under the admission lock."""
+    batcher = make_batcher(autostart=False, max_queue=2)
+    start = threading.Barrier(8)
+    rejected = []
+
+    def worker():
+        start.wait(10)
+        try:
+            batcher.submit(_req())
+        except ServerOverloadedError:
+            rejected.append(1)
+
+    threads = [threading.Thread(target=worker) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(10)
+    assert batcher.queue_depth() == 2  # the bound held exactly
+    assert len(rejected) == 6
+    assert batcher.stats_snapshot()["rejected_overload"] == 6
+
+
+def test_over_length_accounting_is_payload_form_independent():
+    """A 413 rejected post-decode (runtime-tightened limit / file-path
+    payload) must count exactly like an admission-time 413: ONLY
+    rejected_too_long — never requests/failed_requests, or the failure rate
+    would depend on how the client encoded its audio."""
+    batcher = make_batcher(autostart=False, long_policy="reject")
+    fut = batcher.submit(_req(n=400))     # admitted: no limit yet
+    batcher.max_seconds = 0.02            # runtime-tunable (documented)
+    batcher.start()
+    with pytest.raises(RequestTooLongError):
+        fut.result(timeout=300)           # rejected post-decode
+    stats = batcher.stats_snapshot()
+    batcher.shutdown()
+    assert stats["rejected_too_long"] == 1
+    assert stats["requests"] == 0
+    assert stats["failed_requests"] == 0
+
+
 def test_separate_long_forwards_ode_opt():
     """ode_opt must survive the long-audio auto-dispatch: each streaming
     window re-enters separate() with the caller's solver options, not the
