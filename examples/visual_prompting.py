@@ -23,6 +23,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# honor JAX_PLATFORMS=cpu even where a site plugin overrides it (some
+# environments register a TPU backend in every interpreter)
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from sam_audio_tpu import SAMAudio, SAMAudioProcessor
@@ -36,6 +42,8 @@ def make_demo_model():
 
     from sam_audio_tpu.config import PerceptionEncoderConfig
 
+    from sam_audio_tpu.config import DACVAEConfig
+
     cfg = SAMAudioConfig(
         transformer=TransformerConfig(dim=256, n_heads=4, n_layers=2,
                                       dropout=0.0, context_dim=256,
@@ -45,6 +53,9 @@ def make_demo_model():
         vision_encoder=PerceptionEncoderConfig(
             dim=64, width=64, vit_layers=2, vit_heads=2, image_size=56,
             patch_size=14),
+        # real 48 kHz / hop-1920 codec semantics but a small net (a real
+        # snapshot uses the full DAC-VAE)
+        audio_codec=DACVAEConfig(encoder_dim=8, decoder_dim=64),
         span_predictor=None,
         compute_dtype="bfloat16",
     )
