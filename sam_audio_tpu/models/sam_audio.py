@@ -504,9 +504,19 @@ class SAMAudio:
         Defaults to the RoPE-table bound — the reference hard-fails past
         max_positions=10000 frames ≈ 400 s (transformer.py:404-409); here a
         10-minute clip just streams. Set `model.max_direct_seconds` to lower
-        it globally (e.g. to a serving bucket grid)."""
+        it globally (e.g. to a serving bucket grid). The streamed result
+        carries `noise=None` (noise is drawn per window); reproduce a long
+        run by passing the same `rng=`, or pass explicit `noise=` to force
+        the direct solve. `model.streaming_window_s` /
+        `model.streaming_batch_windows` tune the window program."""
         ode_opt = ode_opt or DFLT_ODE_OPT
         k = int(reranking_candidates)
+        if preview_nfe is not None and (
+                int(preview_nfe) < 2 or int(preview_nfe) % 2):
+            raise ValueError(
+                f"preview_nfe must be an even integer >= 2 (midpoint "
+                f"previews take 2 evals per step: preview_nfe=8 => 4 "
+                f"steps); got {preview_nfe}")
         cfg = self.cfg
 
         t_frames_in = int(batch.anchor_alignment.shape[-1])
@@ -655,16 +665,26 @@ class SAMAudio:
             tgt_dev = decode_channel_chunked(
                 self.params, latents, cfg=cfg, channel=0)
             idxs = self._rerank_on_device(batch, tgt_dev, sizes, b, k)
-            tgt_all = np.asarray(tgt_dev)
-            target_cands = [tgt_all[i * k:(i + 1) * k, :sizes[i]]
-                            for i in range(b)]
             if idxs is None:
+                # host ranker fallback: all B*k candidates must cross to host
+                tgt_all = np.asarray(tgt_dev)
+                target_cands = [tgt_all[i * k:(i + 1) * k, :sizes[i]]
+                                for i in range(b)]
                 idxs = self._rerank(batch, target_cands, sizes, k)
+                target = [target_cands[i][idxs[i]] for i in range(b)]
+            else:
+                # on-device scoring succeeded: gather the winners on device
+                # and fetch only b rows — transferring all B*k decoded
+                # candidates (k× the data, ~61 MB at k=8/10 s) would stall
+                # the relay for data the host never uses.
+                tgt_sel = np.asarray(gather_candidates(
+                    tgt_dev, jnp.asarray(idxs, jnp.int32),
+                    cfg=cfg, candidates=k))
+                target = [tgt_sel[i, :sizes[i]] for i in range(b)]
             chosen = gather_candidates(latents, jnp.asarray(idxs, jnp.int32),
                                        cfg=cfg, candidates=k)
             res_sel = np.asarray(decode_channel(self.params, chosen, cfg=cfg,
                                                 channel=1))
-            target = [target_cands[i][idxs[i]] for i in range(b)]
             residual = [res_sel[i, :sizes[i]] for i in range(b)]
         else:
             idxs = [0] * b
@@ -700,6 +720,11 @@ class SAMAudio:
         # the dispatch limit (otherwise this would recurse).
         window_s = min(float(getattr(self, "streaming_window_s", 10.0)),
                        limit_frames * self.hop_length / self.sample_rate)
+        # batch_windows=N solves N windows per device call — measured 1.4-1.6x
+        # sustained long-audio throughput over bw=1 (PARITY.md); default stays
+        # 1 so the auto-dispatch only ever needs the (1, win) program that
+        # serving warmups compile.
+        batch_windows = int(getattr(self, "streaming_batch_windows", 1))
         audios = np.asarray(batch.audios)
         sizes = [self.feature_idx_to_wav_idx(int(s))
                  for s in np.asarray(batch.sizes)]
@@ -708,8 +733,10 @@ class SAMAudio:
             res = separate_streaming(
                 self, batch.descriptions[i], audios[i, 0, : sizes[i]],
                 window_s=window_s,
+                batch_windows=batch_windows,
                 anchors=(list(batch.anchors[i])
-                         if batch.anchors is not None else None),
+                         if batch.anchors is not None and batch.anchors[i]
+                         else None),
                 reranking_candidates=k,
                 rng=jax.random.fold_in(rng, i),
                 preview_nfe=preview_nfe,

@@ -476,7 +476,18 @@ class ContinuousBatcher:
         batches, buckets = plan_batches(
             lengths, hop=self.model.hop_length,
             bucket_steps=self.bucket_steps, max_batch=self.max_batch)
+        # Split each planned group by modality: a group mixing visual and
+        # non-visual requests would pass None frames to the processor's
+        # video loader, and visual conditioning is per-batch anyway (mixing
+        # would change the compiled program for the non-visual requests).
+        split = []
         for group, bucket in zip(batches, buckets):
+            vid = [i for i in group if live[i][0].masked_video is not None]
+            plain = [i for i in group if live[i][0].masked_video is None]
+            for sub in (plain, vid):
+                if sub:
+                    split.append((sub, bucket))
+        for group, bucket in split:
             # Pad the dispatched batch up to the next warmed size by
             # repeating the last request's audio: intermediate group sizes
             # then reuse a compiled program instead of compiling their own

@@ -4,7 +4,9 @@ The reference is bounded to ~400 s by its RoPE table (max_positions=10000
 frames, SURVEY.md section 5) and by memory (full-sequence attention +
 activations). This module removes the bound: the mixture is processed in
 overlapping windows sharing the same prompt, and the per-window outputs are
-blended with an equal-power crossfade. Windows reuse ONE compiled program
+blended with a weight-normalized sine crossfade (amplitude-preserving for
+the correlated content adjacent windows share — see _crossfade_weights for
+the normalization rationale). Windows reuse ONE compiled program
 (fixed window length), so hour-long inputs stream through the chip at the
 10-s-clip throughput.
 
@@ -33,7 +35,19 @@ class StreamingResult:
 
 
 def _crossfade_weights(length: int, fade: int) -> np.ndarray:
-    """Equal-power ramp: w[i]^2 + w[length-fade+i]^2 == 1 across the overlap."""
+    """Sine ramp with w[i]^2 + w[length-fade+i]^2 == 1 across the overlap.
+
+    The assembly divides by sum(w_i), so the blend is a NORMALIZED weighted
+    overlap-add, not a raw equal-power sum: for the highly correlated
+    content adjacent windows share in the overlap (same mixture through the
+    same model), the normalized average is amplitude-exact (identical
+    window outputs blend to identity), where an unnormalized equal-power
+    sum would bump them up to +3 dB at the overlap center. The trade is the
+    converse: fully DEcorrelated overlap components (e.g. different
+    per-window noise draws surviving into the output) dip by up to ~3 dB
+    power at the seam. Separated stems track the (shared) mixture content,
+    so correlation is the common case and normalization is the right
+    default."""
     w = np.ones(length, np.float32)
     if fade > 0:
         ramp = np.sin(0.5 * np.pi * (np.arange(fade) + 0.5) / fade)
@@ -204,6 +218,7 @@ def separate_streaming(
     # anything to overlap with.
     from concurrent.futures import ThreadPoolExecutor
 
+    w_base = _crossfade_weights(win, fade)
     current = run_group(0)
     with ThreadPoolExecutor(max_workers=1) as pool:
         for next_g0 in list(range(bw, n_windows, bw)) + [None]:
@@ -214,7 +229,7 @@ def separate_streaming(
                         if next_g0 is not None else None)
             group, starts, res = current
             for j, (i, start) in enumerate(zip(group, starts)):
-                w = _crossfade_weights(win, fade)
+                w = w_base
                 # edges of the full signal keep full weight (no fade-in at 0)
                 if i == 0:
                     w = w.copy()

@@ -237,6 +237,58 @@ def test_separate_long_with_explicit_noise_stays_direct():
     assert res.target[0].shape == (n,)
 
 
+def test_separate_long_forwards_batch_windows():
+    """model.streaming_batch_windows reaches the auto-dispatch: long-clip
+    serving can opt into the batched-window regime (measured 1.4-1.6x
+    sustained throughput over bw=1, PARITY.md) without calling
+    separate_streaming directly."""
+    import sam_audio_tpu.streaming as streaming_mod
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    model = make_model()
+    model.streaming_batch_windows = 2
+    seen = {}
+    real = streaming_mod.separate_streaming
+
+    def spy(m, d, w, **kw):
+        seen.update(kw)
+        return real(m, d, w, **kw)
+
+    streaming_mod.separate_streaming = spy
+    try:
+        sr = CFG.audio_codec.sample_rate
+        hop = CFG.audio_codec.hop_length
+        n = CFG.transformer.max_positions * hop * 2
+        proc = SAMAudioProcessor(audio_hop_length=hop,
+                                 audio_sampling_rate=sr)
+        batch = proc(descriptions=["dog"],
+                     audios=[np.zeros((1, n), np.float32)])
+        res = model.separate(batch, rng=jax.random.PRNGKey(2))
+        assert res.target[0].shape == (n,)
+    finally:
+        streaming_mod.separate_streaming = real
+    assert seen.get("batch_windows") == 2
+
+
+def test_preview_nfe_validated_at_api_boundary():
+    """Odd preview_nfe used to surface as an obscure ODE step-divisibility
+    error from deep inside the solver; the API now rejects it up front."""
+    import pytest
+
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    model = make_model()
+    sr = CFG.audio_codec.sample_rate
+    hop = CFG.audio_codec.hop_length
+    proc = SAMAudioProcessor(audio_hop_length=hop, audio_sampling_rate=sr)
+    batch = proc(descriptions=["dog"],
+                 audios=[np.zeros((1, 64), np.float32)])
+    with pytest.raises(ValueError, match="preview_nfe must be an even"):
+        model.separate(batch, reranking_candidates=2, preview_nfe=7)
+    with pytest.raises(ValueError, match="preview_nfe must be an even"):
+        model.separate(batch, preview_nfe=0)
+
+
 def test_separate_long_predict_spans_raises():
     import pytest
 
