@@ -53,8 +53,7 @@ def build_argparser() -> argparse.ArgumentParser:
     mdl.add_argument("--config", help="config.json for --random-init "
                                       "(default: flagship-shaped defaults)")
     mdl.add_argument("--train-towers", action="store_true",
-                     help="also train the codec/T5 towers (default: frozen, "
-                          "matching the reference's tower policy)")
+                     help=argparse.SUPPRESS)  # rejected: see main()
 
     opt = ap.add_argument_group("optimizer")
     opt.add_argument("--lr", type=float, default=1e-4)
@@ -224,8 +223,11 @@ def _run_span(args, model, total_steps) -> int:
                                     sp_cfg, bucket_seconds=args.bucket_seconds)
         ds, _ = _open_records(args)
         for epoch in range(args.epochs):
-            yield from iter_batches(ds.epoch(epoch), pipeline,
-                                    args.batch_size, prefetch=args.prefetch)
+            # same per-process batch-count bound as the flow loop
+            yield from iter_batches(
+                ds.epoch(epoch), pipeline, args.batch_size,
+                prefetch=args.prefetch,
+                max_batches=ds.batches_per_epoch(epoch, args.batch_size))
 
     print(f"span training starts: total_steps~{total_steps} "
           f"batch={args.batch_size}", file=sys.stderr)
@@ -265,6 +267,22 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     if not args.records and not args.synthetic:
         raise SystemExit("one of --records or --synthetic is required")
+    if args.train_towers:
+        # The towers CANNOT be trained in this architecture: codec/T5
+        # featurize batches in the DATA PIPELINE (train/data.py), outside
+        # the loss graph, so their gradients are identically zero — the flag
+        # would only re-enable adamw weight decay on the frozen towers and
+        # silently corrupt them (they'd shrink by lr*wd per step while
+        # receiving no training signal).
+        raise SystemExit(
+            "--train-towers is rejected: tower features are precomputed in "
+            "the data pipeline, so the towers get zero gradient; enabling "
+            "their weight decay would only corrupt them. Train the DiT "
+            "(default) or use --lora-rank.")
+    if args.lora_out and args.lora_rank <= 0:
+        # validate BEFORE training: discovering this after an hours-long run
+        # (the old post-loop check) threw the whole run away
+        raise SystemExit("--lora-out requires --lora-rank")
 
     import jax
 
@@ -300,23 +318,25 @@ def main(argv=None) -> int:
               file=sys.stderr)
 
     # Decay horizon for schedules, before the Trainer builds the optimizer.
+    # All step accounting (--max-steps, --save-every, the schedule horizon)
+    # is in OPTIMIZER steps: with --accum-steps k, TrainState.step counts
+    # micro-steps, but optax.MultiSteps advances the inner schedule once per
+    # k micro-steps — so horizons estimated from batch counts divide by k,
+    # and micro-step comparisons multiply by k.
+    accum = max(int(args.accum_steps), 1)
     total_steps = args.total_steps or args.max_steps
     if not total_steps and args.records:
         _, per_epoch = _open_records(args)
-        total_steps = per_epoch * args.epochs
+        total_steps = max(per_epoch * args.epochs // accum, 1)
     if not total_steps:
-        total_steps = args.synthetic * args.epochs
+        total_steps = max(args.synthetic * args.epochs // accum, 1)
 
     if args.task == "span":
         return _run_span(args, model, total_steps)
 
     trainable_filter = None
-    if args.train_towers:
-        trainable_filter = lambda path: True  # noqa: E731
 
     if args.lora_rank > 0:
-        if args.train_towers:
-            raise SystemExit("--lora-rank is incompatible with --train-towers")
         from sam_audio_tpu.train.lora import LoRATrainer
 
         trainer = LoRATrainer(
@@ -348,14 +368,15 @@ def main(argv=None) -> int:
         mgr = TrainCheckpointManager(
             args.ckpt_dir, max_to_keep=args.max_to_keep,
             keep_period=args.keep_period or None,
-            save_interval_steps=args.save_every,
+            # state.step counts micro-steps; --save-every is optimizer steps
+            save_interval_steps=args.save_every * accum,
         )
         if args.resume and mgr.latest_step() is not None:
             trainer.state = mgr.restore(trainer.state)
             print(f"resumed from step {int(trainer.state.step)}",
                   file=sys.stderr)
 
-    frozen = () if args.train_towers else DEFAULT_FROZEN_PREFIXES
+    frozen = DEFAULT_FROZEN_PREFIXES
     print(f"training starts: total_steps~{total_steps} "
           f"batch={args.batch_size} frozen={list(frozen)}", file=sys.stderr)
 
@@ -382,9 +403,12 @@ def main(argv=None) -> int:
             bucket_seconds=args.bucket_seconds)
         ds, _ = _open_records(args)
         for epoch in range(args.epochs):
-            yield from iter_batches(ds.epoch(epoch), pipeline,
-                                    args.batch_size,
-                                    prefetch=args.prefetch)
+            # bound every process to the same batch count: one extra dp
+            # collective step on one process would deadlock the cluster
+            yield from iter_batches(
+                ds.epoch(epoch), pipeline, args.batch_size,
+                prefetch=args.prefetch,
+                max_batches=ds.batches_per_epoch(epoch, args.batch_size))
 
     t0 = time.time()
     n = 0
@@ -403,7 +427,8 @@ def main(argv=None) -> int:
                       f"({rate:.2f} steps/s)", file=sys.stderr)
             if mgr is not None:
                 mgr.save(trainer.state)
-            if args.max_steps and step >= args.max_steps:
+            # --max-steps is optimizer steps; state.step counts micro-steps
+            if args.max_steps and step >= args.max_steps * accum:
                 break
     finally:
         if mgr is not None:
@@ -411,9 +436,7 @@ def main(argv=None) -> int:
             mgr.wait_until_finished()
             mgr.close()
 
-    if args.lora_out:
-        if args.lora_rank <= 0:
-            raise SystemExit("--lora-out requires --lora-rank")
+    if args.lora_out:  # validated with --lora-rank before training started
         trainer.save_adapters(args.lora_out)
         print(f"wrote LoRA adapters to {args.lora_out}", file=sys.stderr)
 

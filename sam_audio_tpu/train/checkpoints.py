@@ -26,9 +26,16 @@ from sam_audio_tpu.train.flow_matching import TrainState
 
 
 def _abstract(tree):
-    return jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)), tree
-    )
+    # Keep the template's shardings (a live-mesh TrainState): without them
+    # orbax falls back to the shardings recorded at SAVE time, which
+    # reference the old device set — restoring onto a different topology
+    # (tp=4 -> tp=2, fewer chips) would fail or place 1B-model leaves
+    # unsharded. Same pattern as tests/test_orbax_multidevice.py.
+    def leaf(x):
+        return jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x),
+                                    sharding=getattr(x, "sharding", None))
+
+    return jax.tree_util.tree_map(leaf, tree)
 
 
 class TrainCheckpointManager:

@@ -58,11 +58,37 @@ def encode_training_batch(params, mixtures, targets, residuals, text_ids,
     }
 
 
+def pad_text_to_bucket(ids, mask, multiple: int = 16):
+    """Round the tokenized text width up to a multiple of `multiple`.
+
+    The tokenizer pads to the batch's longest description, so real-data
+    batches vary in L — and every distinct (L, anchor_width) pair retraces
+    the featurization jit AND the donated train step (200-300 s/compile on
+    a relay-backed chip). Bucketing L bounds the program count at
+    max_length/multiple. Padded positions carry mask=False, which the T5
+    attention and the cross-attention both honor, so results are unchanged.
+    """
+    ids = np.asarray(ids)
+    mask = np.asarray(mask)
+    n = ids.shape[1]
+    target = -(-max(n, 1) // multiple) * multiple
+    if target == n:
+        return ids, mask
+    pad = ((0, 0), (0, target - n))
+    return np.pad(ids, pad), np.pad(mask, pad)
+
+
 class FlowMatchingDataPipeline:
-    """Host batching + device featurization for flow-matching training."""
+    """Host batching + device featurization for flow-matching training.
+
+    Compile-shape discipline: time is bucketed (`bucket_seconds`), text is
+    bucketed to multiples of `text_bucket`, and anchor slots are pinned to
+    at least `pad_anchors_to` — so steady-state training replays a bounded
+    set of compiled programs instead of retracing per batch."""
 
     def __init__(self, cfg: SAMAudioConfig, params, tokenizer,
-                 bucket_seconds: float = 2.0):
+                 bucket_seconds: float = 2.0, text_bucket: int = 16,
+                 pad_anchors_to: int = 8):
         self.cfg = cfg
         # Featurization needs only the frozen towers. Copy them: the Trainer
         # donates its state buffers each step (jit donate_argnums), which
@@ -73,6 +99,8 @@ class FlowMatchingDataPipeline:
              "text_encoder": params["text_encoder"]},
         )
         self.tokenizer = tokenizer
+        self.text_bucket = int(text_bucket)
+        self.pad_anchors_to = int(pad_anchors_to)
         self.processor = SAMAudioProcessor(
             audio_hop_length=cfg.audio_codec.hop_length,
             audio_sampling_rate=cfg.audio_codec.sample_rate,
@@ -93,6 +121,7 @@ class FlowMatchingDataPipeline:
             descriptions=[e.description for e in examples],
             audios=[as2d(e.mixture) for e in examples],
             anchors=anchors,
+            pad_anchors_to=self.pad_anchors_to,
         )
         tmax = batch.audios.shape[-1]
 
@@ -109,6 +138,7 @@ class FlowMatchingDataPipeline:
             [e.description for e in examples],
             max_length=self.cfg.text_encoder.max_length,
         )
+        ids, mask = pad_text_to_bucket(ids, mask, self.text_bucket)
         return encode_training_batch(
             self.params,
             jnp.asarray(batch.audios),

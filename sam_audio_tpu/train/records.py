@@ -177,12 +177,35 @@ class ShardedRecordDataset:
             for i in range(self.index["num_shards"])
         ]
 
-    def epoch(self, epoch: int = 0) -> Iterator[TrainExample]:
-        paths = self._shard_paths()
-        order = np.arange(len(paths))
+    def _epoch_order(self, epoch: int):
+        order = np.arange(self.index["num_shards"])
         rng = np.random.RandomState((self.seed * 1_000_003 + epoch) % 2**31)
         if self.shuffle:
             rng.shuffle(order)
+        return order, rng
+
+    def batches_per_epoch(self, epoch: int, batch_size: int,
+                          drop_remainder: bool = True) -> int:
+        """The MINIMUM number of `batch_size` batches any process yields
+        this epoch. Multi-host dp training must bound every process's loop
+        to this (pass it as iter_batches(max_batches=...)): shard striding
+        gives processes near-equal but not identical example counts, and a
+        process dispatching one extra collective train step would deadlock
+        against peers that already left the loop. Deterministic from
+        index.json + the epoch shuffle, so every process computes the same
+        value with no communication."""
+        counts = np.asarray(self.index["counts"])
+        order, _ = self._epoch_order(epoch)
+        per_process = []
+        for p in range(self.process_count):
+            c = int(counts[order[p:: self.process_count]].sum())
+            per_process.append(c // batch_size if drop_remainder
+                               else -(-c // batch_size))
+        return min(per_process) if per_process else 0
+
+    def epoch(self, epoch: int = 0) -> Iterator[TrainExample]:
+        paths = self._shard_paths()
+        order, rng = self._epoch_order(epoch)
         mine = order[self.process_index:: self.process_count]
         for shard_idx in mine:
             examples = _load_shard(paths[int(shard_idx)])
@@ -197,37 +220,73 @@ class ShardedRecordDataset:
 
 
 def iter_batches(examples: Iterable[TrainExample], pipeline, batch_size: int,
-                 drop_remainder: bool = True, prefetch: int = 2):
+                 drop_remainder: bool = True, prefetch: int = 2,
+                 max_batches: Optional[int] = None):
     """Group examples into device batches via `pipeline.make_batch`, built on
-    a background thread so host featurization overlaps device compute."""
+    a background thread so host featurization overlaps device compute.
+
+    `max_batches` bounds the yield count — multi-host dp training MUST pass
+    `dataset.batches_per_epoch(...)` here so every process dispatches the
+    same number of collective train steps (a process with one extra batch
+    would block forever in its dp psum while the others have left the loop).
+
+    The consumer may stop early (--max-steps, an exception): the prefetch
+    worker observes the stop flag on its next bounded put and exits instead
+    of blocking forever on a full queue (which would pin the prefetched
+    device batches in HBM for the life of the process)."""
     def groups():
+        n = 0
         group: List[TrainExample] = []
         for e in examples:
             group.append(e)
             if len(group) == batch_size:
                 yield group
                 group = []
+                n += 1
+                if max_batches is not None and n >= max_batches:
+                    return
         if group and not drop_remainder:
-            yield group
+            if max_batches is None or n < max_batches:
+                yield group
 
     q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for g in groups():
-                q.put(pipeline.make_batch(g))
+                if not _put(pipeline.make_batch(g)):
+                    return
         except BaseException as e:  # surface in the consumer
-            q.put(e)
+            _put(e)
             return
-        q.put(_END)
+        _put(_END)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        try:  # release a worker blocked mid-put
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5.0)

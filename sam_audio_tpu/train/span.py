@@ -193,9 +193,11 @@ class SpanDataPipeline:
     anchors are unused — the target stem supplies the labels)."""
 
     def __init__(self, cfg: SAMAudioConfig, params, tokenizer,
-                 sp_cfg: SpanPredictorConfig, bucket_seconds: float = 2.0):
+                 sp_cfg: SpanPredictorConfig, bucket_seconds: float = 2.0,
+                 text_bucket: int = 16):
         self.cfg = cfg
         self.sp_cfg = sp_cfg
+        self.text_bucket = int(text_bucket)
         # Copy the frozen towers (same rationale as the flow pipeline: a
         # Trainer donates its buffers; the copy keeps this pipeline valid).
         self.params = jax.tree_util.tree_map(
@@ -228,6 +230,11 @@ class SpanDataPipeline:
             [e.description for e in examples],
             max_length=self.cfg.text_encoder.max_length,
         )
+        # text-width bucketing: same compile-shape discipline as the flow
+        # pipeline (see data.pad_text_to_bucket)
+        from sam_audio_tpu.train.data import pad_text_to_bucket
+
+        ids, mask = pad_text_to_bucket(ids, mask, self.text_bucket)
         return encode_span_batch(
             self.params,
             jnp.asarray(batch.audios),
@@ -251,10 +258,20 @@ def save_span_predictor(snapshot_dir: str, sp_cfg: SpanPredictorConfig,
     keep loading as converted PEAudioFrame checkpoints)."""
     from sam_audio_tpu.checkpoint import save_params
 
+    def _write_json_atomic(path: str, obj) -> None:
+        # tmp + os.replace: a crash mid-write must never leave a truncated
+        # config.json — especially the PARENT snapshot's, which would make
+        # the user's whole serving snapshot unloadable (same crash-safe
+        # pattern as records.py shard writes).
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, path)
+
     sp_dir = os.path.join(snapshot_dir, "span_predictor")
     os.makedirs(sp_dir, exist_ok=True)
-    with open(os.path.join(sp_dir, "config.json"), "w") as f:
-        json.dump({"arch": SPAN_ARCH_TAG, **asdict(sp_cfg)}, f, indent=1)
+    _write_json_atomic(os.path.join(sp_dir, "config.json"),
+                       {"arch": SPAN_ARCH_TAG, **asdict(sp_cfg)})
     save_params(os.path.join(sp_dir, "params.npz"), jax.device_get(params))
     # The loader attaches span_predictor/ only when the model config names a
     # span predictor (checkpoint.py mirrors the reference's gate). If the
@@ -266,8 +283,7 @@ def save_span_predictor(snapshot_dir: str, sp_cfg: SpanPredictorConfig,
             raw = json.load(f)
         if not raw.get("span_predictor"):
             raw["span_predictor"] = SPAN_ARCH_TAG
-            with open(model_cfg_path, "w") as f:
-                json.dump(raw, f, indent=1)
+            _write_json_atomic(model_cfg_path, raw)
     return sp_dir
 
 

@@ -129,3 +129,44 @@ def test_export_serving_snapshot(tiny_config_path, tmp_path):
                 anchor_alignment=b["anchor_alignment"],
                 audio_pad_mask=b["audio_pad_mask"])
     assert v.shape[0] == 1 and bool(jnp.all(jnp.isfinite(v)))
+
+
+def test_train_towers_is_rejected(tiny_config_path):
+    """--train-towers cannot work (towers featurize outside the loss graph,
+    so their grads are zero) and used to silently re-enable weight decay on
+    them — it must fail loudly up front."""
+    with pytest.raises(SystemExit, match="train-towers"):
+        train_main([
+            "--synthetic", "1", "--random-init", "--config",
+            tiny_config_path, "--batch-size", "1", "--train-towers",
+        ])
+
+
+def test_lora_out_without_rank_rejected_before_training(tiny_config_path):
+    """The old check fired AFTER the training loop — an hours-long run was
+    thrown away before the user learned their flag combination was invalid."""
+    with pytest.raises(SystemExit, match="lora-out requires"):
+        train_main([
+            "--synthetic", "1", "--random-init", "--config",
+            tiny_config_path, "--batch-size", "1",
+            "--lora-out", "/tmp/never-written.npz",
+        ])
+
+
+def test_accum_steps_counts_optimizer_steps(tiny_config_path, tmp_path):
+    """--max-steps and --save-every are documented in OPTIMIZER steps;
+    TrainState.step counts micro-steps, so with --accum-steps 2 a
+    --max-steps 2 run must execute 4 micro-steps (2 real updates), not stop
+    after 2 micro-steps (= only 1 update)."""
+    ckpt = str(tmp_path / "ckpts_accum")
+    rc = train_main([
+        "--synthetic", "8", "--random-init", "--config", tiny_config_path,
+        "--batch-size", "1", "--accum-steps", "2", "--max-steps", "2",
+        "--ckpt-dir", ckpt, "--log-every", "0",
+    ])
+    assert rc == 0
+
+    from sam_audio_tpu.train.checkpoints import TrainCheckpointManager
+
+    with TrainCheckpointManager(ckpt) as mgr:
+        assert mgr.latest_step() == 4  # 2 optimizer steps x accum 2

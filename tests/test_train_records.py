@@ -122,3 +122,63 @@ def test_checkpoint_manager_retention_and_restore(tmp_path):
 
         r4 = mgr.restore(template, step=4)
         assert int(r4.step) == 4
+
+
+def test_batches_per_epoch_equalizes_uneven_processes(tmp_path):
+    """Shard striding gives processes unequal example counts; multi-host dp
+    training bounds every process to the global-min batch count so no
+    process dispatches an extra collective step (which would deadlock the
+    cluster). The bound must be computable identically on every process
+    with no communication."""
+    # 11 examples in shards of 3 -> shard sizes [3, 3, 3, 2]: striding over
+    # 2 processes is unbalanced (6 vs 5 examples -> 3 vs 2 batches of 2)
+    write_shards(_examples(11), str(tmp_path), shard_size=3)
+
+    class CountPipeline:
+        def make_batch(self, group):
+            return len(group)
+
+    counts = []
+    limits = []
+    for p in range(2):
+        ds = ShardedRecordDataset(str(tmp_path), process_index=p,
+                                  process_count=2, seed=0)
+        limit = ds.batches_per_epoch(0, batch_size=2)
+        limits.append(limit)
+        n = sum(1 for _ in iter_batches(ds.epoch(0), CountPipeline(), 2,
+                                        max_batches=limit))
+        counts.append(n)
+    # both processes compute the same bound and yield exactly that many
+    assert limits[0] == limits[1]
+    assert counts[0] == counts[1] == limits[0] > 0
+    # without the bound the processes WOULD diverge (this is the hazard)
+    raw = []
+    for p in range(2):
+        ds = ShardedRecordDataset(str(tmp_path), process_index=p,
+                                  process_count=2, seed=0)
+        raw.append(sum(1 for _ in iter_batches(ds.epoch(0),
+                                               CountPipeline(), 2)))
+    assert raw[0] != raw[1]
+
+
+def test_iter_batches_early_stop_releases_prefetch_worker(tmp_path):
+    """Breaking out of iter_batches (--max-steps, a step exception) must let
+    the prefetch worker exit instead of leaving it blocked forever on a
+    full queue, pinning prefetched device batches in HBM."""
+    import threading
+
+    write_shards(_examples(32), str(tmp_path), shard_size=32)
+    ds = ShardedRecordDataset(str(tmp_path), seed=0)
+
+    class CountPipeline:
+        def make_batch(self, group):
+            return len(group)
+
+    before = {t.ident for t in threading.enumerate()}
+    it = iter_batches(ds.epoch(0), CountPipeline(), 2, prefetch=1)
+    assert next(it) == 2
+    it.close()  # consumer stops early
+    # the worker must exit promptly (iter_batches joins it on close)
+    leaked = [t for t in threading.enumerate()
+              if t.ident not in before and t.is_alive()]
+    assert not leaked
