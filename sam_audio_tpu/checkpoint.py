@@ -36,6 +36,12 @@ from sam_audio_tpu.ops.conv import fold_weight_norm
 SKIP_REGEX = re.compile(r"(^text_encoder|^visual_ranker|^text_ranker|^span_predictor)")
 
 
+def _stack_layer_trees(layers):
+    """Stack N per-layer param dicts leaf-wise onto a leading layer axis —
+    the storage layout the lax.scan layer loops consume."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
 # ---------------------------------------------------------------------------
 # Flat (npz) pytree serialization
 # ---------------------------------------------------------------------------
@@ -256,17 +262,8 @@ def convert_dit(sd: Dict[str, np.ndarray], cfg, prefix="transformer"):
                 "scale_shift_table": jnp.asarray(sd[f"{lp}.scale_shift_table"]),
             }
         )
-    def stack(trees):
-        out = {}
-        for k in trees[0]:
-            subs = [t[k] for t in trees]
-            out[k] = stack(subs) if isinstance(subs[0], dict) else jnp.stack(subs)
-        return out
-
-    stacked = stack(layers)
-
     p = {
-        "layers": stacked,
+        "layers": _stack_layer_trees(layers),
         "norm": _norm(sd, f"{prefix}.norm"),
         "output": _linear(sd, f"{prefix}.output"),
         "x_embedder": _patcher(sd, f"{prefix}.x_embedder"),
@@ -389,9 +386,46 @@ def convert_conditioning(sd: Dict[str, np.ndarray], cfg: SAMAudioConfig):
     return params
 
 
-def convert_sam_audio_state_dict(sd: Dict[str, np.ndarray], cfg: SAMAudioConfig):
-    params = {"audio_codec": convert_dacvae(sd, cfg.audio_codec, "audio_codec")}
-    params.update(convert_conditioning(sd, cfg))
+class _TrackedStateDict(dict):
+    """Dict wrapper recording which keys the converters consume, so the
+    full-model conversion can verify COVERAGE: a renamed or extra module in
+    checkpoint.pt must fail loudly, not be silently dropped (the tower
+    converters already do this via explicit unconverted-key checks)."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.accessed: set = set()
+
+    def __getitem__(self, k):
+        self.accessed.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self.accessed.add(k)
+        return super().get(k, default)
+
+
+def convert_sam_audio_state_dict(sd: Dict[str, np.ndarray],
+                                 cfg: SAMAudioConfig, strict: bool = True):
+    """checkpoint.pt state_dict -> params pytree. With `strict` (default),
+    raises if any key is neither consumed by the converters nor matched by
+    SKIP_REGEX (towers that load from their own repos, reference
+    model.py:352-355) — silent key drops would produce a wrong model."""
+    tracked = _TrackedStateDict(sd)
+    params = {
+        "audio_codec": convert_dacvae(tracked, cfg.audio_codec, "audio_codec")
+    }
+    params.update(convert_conditioning(tracked, cfg))
+    if strict:
+        unused = sorted(k for k in sd
+                        if k not in tracked.accessed and not SKIP_REGEX.match(k))
+        if unused:
+            raise ValueError(
+                f"convert_sam_audio_state_dict: {len(unused)} checkpoint "
+                f"key(s) were not consumed by the converter and do not match "
+                f"the tower skip policy — a renamed/extra module would be "
+                f"silently dropped. First offenders: {unused[:20]}. Fix the "
+                f"layout mapping or pass strict=False to ignore.")
     return params
 
 
@@ -418,13 +452,6 @@ def convert_t5_state_dict(sd: Dict[str, np.ndarray], cfg: T5EncoderConfig):
             }
         )
 
-    def stack(trees):
-        out = {}
-        for k in trees[0]:
-            subs = [t[k] for t in trees]
-            out[k] = stack(subs) if isinstance(subs[0], dict) else jnp.stack(subs)
-        return out
-
     emb_key = "shared.weight" if "shared.weight" in sd else "encoder.embed_tokens.weight"
     return {
         "token_embedding": {"weight": jnp.asarray(sd[emb_key])},
@@ -433,7 +460,7 @@ def convert_t5_state_dict(sd: Dict[str, np.ndarray], cfg: T5EncoderConfig):
                 sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
             )
         },
-        "blocks": stack(blocks),
+        "blocks": _stack_layer_trees(blocks),
         "final_layer_norm": _norm(sd, "encoder.final_layer_norm"),
     }
 
@@ -518,7 +545,8 @@ _PEAV_IGNORE_RE = re.compile(
 _PEAV_ROTARY_RE = re.compile(r"(rotary.*\.inv_freq|\binv_freq|freqs_cis)$")
 
 
-def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg):
+def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg,
+                       arch_overrides: Optional[Dict[str, str]] = None):
     """Map a perception-models PE-AV `Transformer` state_dict (reference
     judge.py:46-47) onto our canonical PE-AV pytree, sniffing the block naming
     style (fairseq/HF q_proj, timm fused qkv, CLIP resblocks/in_proj,
@@ -527,6 +555,13 @@ def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg):
     Returns (params, arch, unconverted): `arch` holds the sniffed switches for
     PEAVTransformerConfig {prenorm, act, pos}; `unconverted` lists keys under
     `prefix` that did not map (empty == fully weight-compatible).
+
+    KNOWN AMBIGUITY: a bias-free nn.LayerNorm and an RMSNorm carry identical
+    state-dict keys (weight only), so the norm sniff defaults such blocks to
+    rmsnorm — if the source used LayerNorm(bias=False) (some newer timm /
+    perception variants), pass `arch_overrides={"norm": "layernorm"}` (the
+    SAM_AUDIO_PEAV_ARCH env var takes `key=value,key=value` for the CLI
+    path) and validate against a reference activation.
     """
     sub = {k[len(prefix):]: np.asarray(v) for k, v in sd.items()
            if k.startswith(prefix)}
@@ -609,7 +644,10 @@ def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg):
         if norms is None:
             raise ValueError(f"unrecognized layer norms in {prefix}{L}")
         lp["ln1"], lp["ln2"] = norms
-        # affine bias present => LayerNorm; bare scale => RMSNorm
+        # affine bias present => LayerNorm; bare scale => RMSNorm. NOTE:
+        # LayerNorm(bias=False) is key-indistinguishable from RMSNorm and
+        # lands on rmsnorm here — overridable via arch_overrides /
+        # SAM_AUDIO_PEAV_ARCH (see docstring).
         arch["norm"] = "layernorm" if "bias" in norms[0] else "rmsnorm"
 
         mlp = None
@@ -642,9 +680,7 @@ def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg):
                     lp["attn"][bkv] = take(f"{L}.{root}.{bkv}").reshape(-1)
         layers.append(lp)
 
-    params = {
-        "layers": jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
-    }
+    params = {"layers": _stack_layer_trees(layers)}
     for key in _PEAV_POS_KEYS:
         if have(key):  # raw nn.Parameter table
             params["pos_embed"] = take(key)
@@ -683,6 +719,16 @@ def convert_peav_tower(sd: Dict[str, np.ndarray], prefix: str, cfg):
         if k not in consumed and _PEAV_IGNORE_RE.search(k):
             consumed.add(k)
     unconverted = sorted(prefix + k for k in sub if k not in consumed)
+    # explicit overrides win over sniffing (bias-free LayerNorm vs RMSNorm is
+    # key-indistinguishable — see the docstring); env var covers CLI paths
+    env = os.environ.get("SAM_AUDIO_PEAV_ARCH", "")
+    if env:
+        for kv in env.split(","):
+            k, _, v = kv.partition("=")
+            if k.strip():
+                arch[k.strip()] = v.strip()
+    if arch_overrides:
+        arch.update(arch_overrides)
     return params, arch, unconverted
 
 

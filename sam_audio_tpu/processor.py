@@ -112,6 +112,11 @@ class Batch:
         anchor_alignment[~self.audio_pad_mask] = 1  # pad frames -> <pad> slot
         if anchors is None:
             width = max(2, pad_to or 0)
+            if pad_to:
+                # same multiple-of-4 rounding as the anchors branch: a
+                # pinned pad_to must yield ONE jit width whether or not the
+                # batch carries anchors (two widths = two compiled programs)
+                width = 4 * ((width + 3) // 4)
             anchor_ids = np.full((batch_size, width), ANCHOR_VOCAB["<pad>"],
                                  np.int32)
             anchor_ids[:, 0] = ANCHOR_VOCAB["<null>"]
@@ -189,10 +194,20 @@ class Processor:
         else:
             from huggingface_hub import hf_hub_download
 
-            config_path = hf_hub_download(
-                repo_id=model_name_or_path, filename="config.json",
-                revision=cls.revision,
-            )
+            try:
+                # cache-first: on a zero-egress host a warm HF cache serves
+                # instantly; going to the network first would pay ~25-40 s
+                # of retry backoff for a file already on disk (same policy
+                # as checkpoint.load_sam_audio)
+                config_path = hf_hub_download(
+                    repo_id=model_name_or_path, filename="config.json",
+                    revision=cls.revision, local_files_only=True,
+                )
+            except Exception:
+                config_path = hf_hub_download(
+                    repo_id=model_name_or_path, filename="config.json",
+                    revision=cls.revision,
+                )
         with open(config_path) as fin:
             return cls.config_cls.from_dict(json.load(fin))
 
@@ -334,6 +349,12 @@ class SAMAudioJudgeProcessor(Processor):
 
     def _process_audio(self, raw_audio, sampling_rate: Optional[int] = None):
         if isinstance(raw_audio, str):
+            raw_audio = [raw_audio]
+        elif isinstance(raw_audio, np.ndarray):
+            # one bare array is ONE clip (the reference has a dedicated
+            # non-list branch): iterating a 1-D array elementwise would
+            # crash on 0-d scalars, and a (C, T) stereo array would be
+            # silently mis-batched as C mono items
             raw_audio = [raw_audio]
         if isinstance(raw_audio, (list, tuple)) and raw_audio and isinstance(
             raw_audio[0], str

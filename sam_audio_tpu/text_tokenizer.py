@@ -30,8 +30,15 @@ def hub_reachable(timeout: float = 2.0) -> bool:
     TCP is blocked, and the resolver itself ignores socket timeouts, so the
     probe runs in a daemon thread joined with a hard deadline. Honors
     HF_HUB_OFFLINE/TRANSFORMERS_OFFLINE."""
-    if (os.environ.get("HF_HUB_OFFLINE") == "1"
-            or os.environ.get("TRANSFORMERS_OFFLINE") == "1"):
+    def _truthy(name: str) -> bool:
+        # huggingface_hub accepts 1/true/yes/on — honor the same spellings,
+        # or a physically-online host with HF_HUB_OFFLINE=true would probe
+        # reachable and then crash in OfflineModeIsEnabled instead of
+        # serving the local cache
+        return os.environ.get(name, "").strip().lower() in (
+            "1", "true", "yes", "on")
+
+    if _truthy("HF_HUB_OFFLINE") or _truthy("TRANSFORMERS_OFFLINE"):
         return False
     import socket
     import threading
@@ -249,7 +256,11 @@ def get_roberta_tokenizer(vocab_size: int = 50265,
     for cand in (os.environ.get("SAM_AUDIO_ROBERTA_TOKENIZER"),
                  os.path.join(os.path.dirname(__file__), "assets",
                               "roberta_tokenizer")):
-        if cand and os.path.exists(os.path.join(cand, "vocab.json")):
+        # require the FULL file set: a partially-staged dir (vocab.json but
+        # no merges.txt) must fall through to the HF cache / the gate below
+        # instead of crashing outside the allow_fallback policy
+        if cand and all(os.path.exists(os.path.join(cand, f))
+                        for f in ("vocab.json", "merges.txt")):
             return RobertaBPETokenizer.from_dir(cand)
     try:
         from transformers import AutoTokenizer

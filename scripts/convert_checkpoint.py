@@ -52,6 +52,10 @@ def main():
                          "tries the locally-cached HF model")
     ap.add_argument("--verify", action="store_true",
                     help="run a jitted forward pass after conversion")
+    ap.add_argument("--no-strict", action="store_true",
+                    help="tolerate checkpoint keys the converter does not "
+                         "consume (default: fail loudly so a renamed module "
+                         "is never silently dropped)")
     ap.add_argument("--judge", action="store_true",
                     help="the snapshot is a SAMAudioJudge checkpoint "
                          "(HF revision 'sam_audio'); sniffs the PE-AV tower "
@@ -82,7 +86,7 @@ def main():
     print("loading torch checkpoint...")
     sd = _load_torch_state_dict(os.path.join(snapshot, "checkpoint.pt"))
     print(f"  {len(sd)} tensors")
-    params = convert_sam_audio_state_dict(sd, cfg)
+    params = convert_sam_audio_state_dict(sd, cfg, strict=not args.no_strict)
 
     if args.t5:
         print("converting provided T5 state_dict...")

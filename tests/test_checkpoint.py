@@ -72,3 +72,26 @@ def test_load_sam_audio_from_dir(tmp_path):
     model = load_sam_audio(str(tmp_path), allow_random_towers=True)
     assert model.cfg.audio_codec.hop_length == 8
     assert "transformer" in model.params
+
+
+def test_strict_conversion_rejects_unconsumed_keys():
+    """A renamed/extra module in checkpoint.pt must fail loudly — silent key
+    drops would produce a wrong model (the tower converters already check
+    coverage; the main-model converter now does too)."""
+    import pytest
+
+    from sam_audio_tpu.checkpoint import convert_sam_audio_state_dict
+    from test_sam_audio_torch_parity import CFG as cfg
+    from test_sam_audio_torch_parity import SAMAudioOracle
+
+    oracle = SAMAudioOracle().eval()
+    sd = {k: v.detach().numpy() for k, v in oracle.state_dict().items()}
+    sd["mystery_module.weight"] = sd[next(iter(sd))]
+    with pytest.raises(ValueError, match="mystery_module"):
+        convert_sam_audio_state_dict(sd, cfg)
+    # tower keys are policy-skipped, strict=False tolerates anything
+    del sd["mystery_module.weight"]
+    sd["text_encoder.anything"] = sd[next(iter(sd))]
+    convert_sam_audio_state_dict(sd, cfg)  # no raise
+    sd["mystery_module.weight"] = sd[next(iter(sd))]
+    convert_sam_audio_state_dict(sd, cfg, strict=False)  # no raise

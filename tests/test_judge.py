@@ -200,3 +200,22 @@ def test_quantized_judge_close_to_fp():
     assert np.isfinite(out).all()
     denom = np.abs(ref).mean() + 1e-6
     assert np.abs(out - ref).mean() / denom < 0.2, (out, ref)
+
+
+def test_judge_processor_accepts_bare_arrays():
+    """A bare numpy array is ONE clip (the reference has a dedicated
+    non-list branch): 1-D input used to crash iterating 0-d scalars, and a
+    (C, T) array was silently mis-batched as C mono items."""
+    proc = SAMAudioJudgeProcessor(
+        audio_hop_length=8, audio_sampling_rate=8000,
+        tokenizer=ByteFallbackTokenizer(300),
+    )
+    mono = np.random.RandomState(0).randn(160).astype(np.float32) * 0.1
+    out = proc(input_audio=mono, sampling_rate=proc.audio_sampling_rate)
+    assert out["input_values"].shape[0] == 1  # one batch item
+    stereo = np.random.RandomState(1).randn(2, 160).astype(np.float32) * 0.1
+    out2 = proc(input_audio=stereo, sampling_rate=proc.audio_sampling_rate)
+    assert out2["input_values"].shape[0] == 1  # one clip, not two items
+    listed = proc(input_audio=[mono], sampling_rate=proc.audio_sampling_rate)
+    np.testing.assert_array_equal(out["input_values"],
+                                  listed["input_values"])

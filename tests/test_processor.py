@@ -111,3 +111,18 @@ def test_wav_file_roundtrip(tmp_path):
     assert sr == 8000
     assert loaded.shape == (1, 8000)
     np.testing.assert_allclose(loaded[0], wav, atol=1e-4)
+
+
+def test_pad_anchors_to_yields_one_width_with_or_without_anchors():
+    """A pinned pad_anchors_to must produce the SAME anchor_ids width whether
+    the batch carries anchors or not — two widths would mean two compiled
+    programs despite the pin (the anchors branch rounds to a multiple of 4;
+    the None branch now rounds identically)."""
+    p = SAMAudioProcessor(audio_hop_length=8, audio_sampling_rate=8000)
+    wav = np.zeros((1, 64), np.float32)
+    with_anchors = p(descriptions=["a"], audios=[wav],
+                     anchors=[[("+", 0.0, 0.004)]], pad_anchors_to=6)
+    without = p(descriptions=["a"], audios=[wav], pad_anchors_to=6)
+    assert with_anchors.anchor_ids.shape[1] == without.anchor_ids.shape[1] == 8
+    # default (no pin) keeps the reference's minimal width-2 no-anchor shape
+    assert p(descriptions=["a"], audios=[wav]).anchor_ids.shape[1] == 2

@@ -70,11 +70,38 @@ def test_cli_spans_and_candidates(snapshot_dir, mixture_wav, tmp_path):
 
 def test_hub_reachable_honors_offline_env(monkeypatch):
     # the fast pre-check that keeps air-gapped hosts from paying HF's
-    # ~40 s/file retry backoff before hermetic fallbacks engage
+    # ~40 s/file retry backoff before hermetic fallbacks engage.
+    # huggingface_hub accepts several truthy spellings — honor them all, or
+    # an HF_HUB_OFFLINE=true host would probe reachable and then crash in
+    # OfflineModeIsEnabled instead of using its local cache.
     from sam_audio_tpu.text_tokenizer import hub_reachable
 
-    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    for spelling in ("1", "true", "TRUE", "yes", "on"):
+        monkeypatch.setenv("HF_HUB_OFFLINE", spelling)
+        assert hub_reachable() is False, spelling
+    monkeypatch.delenv("HF_HUB_OFFLINE")
+    monkeypatch.setenv("TRANSFORMERS_OFFLINE", "true")
     assert hub_reachable() is False
+
+
+def test_roberta_partial_staging_falls_through_gate(monkeypatch, tmp_path):
+    """A half-staged tokenizer dir (vocab.json, no merges.txt) must fall
+    through to the allow_fallback policy, not crash outside it."""
+    import json as _json
+
+    from sam_audio_tpu.text_tokenizer import (
+        RobertaBPETokenizer,
+        get_roberta_tokenizer,
+    )
+
+    (tmp_path / "vocab.json").write_text(_json.dumps({"a": 0}))
+    monkeypatch.setenv("SAM_AUDIO_ROBERTA_TOKENIZER", str(tmp_path))
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    tok = get_roberta_tokenizer(allow_fallback=True)
+    # served by HF cache or byte fallback — never the incomplete dir
+    assert not isinstance(tok, RobertaBPETokenizer)
+    ids, mask = tok(["hello"], max_length=16)
+    assert ids.shape[0] == 1 and mask.shape == ids.shape
 
 
 def test_cli_streaming_windows(snapshot_dir, mixture_wav, tmp_path):
