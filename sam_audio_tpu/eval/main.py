@@ -23,13 +23,18 @@ from sam_audio_tpu.eval.settings import SETTINGS, make_dataset
 
 def gather_and_average_results(rows: List[Dict[str, float]],
                                multihost: bool = False,
-                               _allgather=None) -> Dict[str, float]:
+                               _allgather=None,
+                               expected_keys: Optional[List[str]] = None,
+                               ) -> Dict[str, float]:
     """rows: list of per-item metric dicts. With multihost=True, per-rank
     {sum, count} vectors are allgathered over DCN and the global mean is
     returned on every process (reference eval/main.py:19-42 semantics, using
     jax process_allgather instead of NCCL all_gather_object). All ranks must
-    compute the same metric key set. `_allgather` injects a fake collective
-    for tests."""
+    compute the same metric key set — pass `expected_keys` (run_eval derives
+    it from the metric objects) so a rank that processed ZERO items (world >
+    dataset size) still contributes a vector of the right shape instead of
+    wedging the collective. `_allgather` injects a fake collective for
+    tests."""
     summed: Dict[str, float] = {}
     count = 0
     for row in rows:
@@ -43,8 +48,9 @@ def gather_and_average_results(rows: List[Dict[str, float]],
             def _allgather(local):
                 return np.asarray(multihost_utils.process_allgather(local))
 
-        keys = sorted(summed)
-        local = np.asarray([summed[k] for k in keys] + [count], np.float64)
+        keys = sorted(expected_keys) if expected_keys else sorted(summed)
+        local = np.asarray([summed.get(k, 0.0) for k in keys] + [count],
+                           np.float64)
         gathered = np.asarray(_allgather(local))
         assert gathered.ndim == 2 and gathered.shape[1] == len(keys) + 1, (
             "rank metric-vector shape mismatch — all ranks must report the "
@@ -104,6 +110,8 @@ def run_eval(
     predict_spans: bool = False,
     output_dir: str = "results",
     max_items: Optional[int] = None,
+    metric_checkpoints: Optional[Dict[str, str]] = None,
+    allow_random_metrics: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     import jax
 
@@ -112,6 +120,7 @@ def run_eval(
 
     rank = jax.process_index()
     world = jax.process_count()
+    mck = metric_checkpoints or {}
 
     if model is None:
         model = SAMAudio.from_pretrained(checkpoint_path)
@@ -120,13 +129,22 @@ def run_eval(
     if metrics is None:
         from sam_audio_tpu.eval.metrics import CLAP, Aesthetic, Judge
 
-        metrics = [Judge(), Aesthetic(), CLAP()]
+        # no-weights metrics raise (scores with random init would print as
+        # if real) unless allow_random_metrics is passed for hermetic runs
+        metrics = [
+            Judge(**({"checkpoint": mck["judge"]} if "judge" in mck else {})),
+            Aesthetic(checkpoint=mck.get("aesthetic"),
+                      allow_random=allow_random_metrics),
+            CLAP(checkpoint=mck.get("clap"),
+                 allow_random=allow_random_metrics),
+        ]
     if imagebind_metric is None and any(
         SETTINGS[s][1].get("visual") for s in settings if s in SETTINGS
     ):
         from sam_audio_tpu.eval.metrics import ImageBind
 
-        imagebind_metric = ImageBind()
+        imagebind_metric = ImageBind(checkpoint=mck.get("imagebind"),
+                                     allow_random=allow_random_metrics)
 
     all_results = {}
     for setting in settings:
@@ -165,7 +183,11 @@ def run_eval(
             if max_items is not None and seen >= max_items:
                 break
 
-        averaged = gather_and_average_results(rows, multihost=world > 1)
+        expected = sorted({
+            k for m in active_metrics for k in getattr(m, "keys", ())
+        }) or None
+        averaged = gather_and_average_results(rows, multihost=world > 1,
+                                              expected_keys=expected)
         all_results[setting] = averaged
         if rank == 0:
             printable = {k: f"{v:.3f}" for k, v in averaged.items()}
@@ -188,7 +210,23 @@ def main():
     parser.add_argument("--candidates", "-c", type=int, default=8)
     parser.add_argument("--predict-spans", action="store_true")
     parser.add_argument("--max-items", type=int, default=None)
+    parser.add_argument("--judge-checkpoint", default=None,
+                        help="judge metric snapshot (default: HF repo)")
+    parser.add_argument("--aes-checkpoint", default=None,
+                        help="audiobox-aesthetics weights (.pt or converted)")
+    parser.add_argument("--clap-checkpoint", default=None,
+                        help="converted laion_clap weights (npz)")
+    parser.add_argument("--imagebind-checkpoint", default=None,
+                        help="converted imagebind_huge weights (npz)")
+    parser.add_argument("--allow-random-metrics", action="store_true",
+                        help="hermetic/dev runs only: score with random "
+                             "metric weights (numbers are meaningless)")
     opt = parser.parse_args()
+    mck = {k: v for k, v in (("judge", opt.judge_checkpoint),
+                             ("aesthetic", opt.aes_checkpoint),
+                             ("clap", opt.clap_checkpoint),
+                             ("imagebind", opt.imagebind_checkpoint))
+           if v}
     run_eval(
         settings=opt.setting,
         cache_path=opt.cache_path,
@@ -197,6 +235,8 @@ def main():
         reranking_candidates=opt.candidates,
         predict_spans=opt.predict_spans,
         max_items=opt.max_items,
+        metric_checkpoints=mck,
+        allow_random_metrics=opt.allow_random_metrics,
     )
 
 

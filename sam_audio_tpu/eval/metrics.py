@@ -22,8 +22,30 @@ COLUMN_MAP = {
 }
 
 
+def _require_weights(name: str, staging_hint: str, allow_random: bool):
+    """Eval metrics must never silently score with random weights — the
+    reference always loads real pretrained metric models, and this repo's
+    rankers raise in the same no-weights condition (ranking/clap.py,
+    ranking/imagebind.py). Tests pass model=... or allow_random=True."""
+    if allow_random:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s metric running with RANDOM weights (allow_random=True) — "
+            "scores are meaningless; for real runs %s", name, staging_hint)
+        return
+    raise ValueError(
+        f"{name} eval metric has no weights: {staging_hint}. Refusing to "
+        f"score with random init (the numbers would be meaningless but "
+        f"printed as if real); pass allow_random=True only in hermetic "
+        f"tests.")
+
+
 class Judge:
     """4-axis judge scores (reference: eval/metrics/judge.py:23-44)."""
+
+    keys = ("JudgeOverall", "JudgeFaithfulness", "JudgeRecall",
+            "JudgePrecision")
 
     def __init__(self, checkpoint: str = "facebook/sam-audio-judge",
                  model=None, processor=None):
@@ -64,7 +86,10 @@ class Judge:
 class Aesthetic:
     """CE/CU/PC/PQ (reference: eval/metrics/aes.py:8-49)."""
 
-    def __init__(self, checkpoint: Optional[str] = None, model=None):
+    keys = tuple(COLUMN_MAP.values())
+
+    def __init__(self, checkpoint: Optional[str] = None, model=None,
+                 allow_random: bool = False):
         if model is None:
             if checkpoint and checkpoint.endswith((".pt", ".pth", ".ckpt")):
                 # real audiobox-aesthetics torch checkpoint: WavLM tower +
@@ -78,6 +103,10 @@ class Aesthetic:
                 if checkpoint:
                     model = AesPredictor.from_pretrained(checkpoint)
                 else:
+                    _require_weights(
+                        "Aesthetic", "convert audiobox-aesthetics "
+                        "(scripts/convert_checkpoint.py aesthetics) and pass "
+                        "checkpoint=", allow_random)
                     model = AesPredictor.init_random(jax.random.PRNGKey(0))
         self.model = model
 
@@ -95,7 +124,10 @@ class Aesthetic:
 class CLAP:
     """Text<->audio similarity (reference: eval/metrics/clap.py:14-46)."""
 
-    def __init__(self, checkpoint: Optional[str] = None, model=None):
+    keys = ("CLAPSimilarity",)
+
+    def __init__(self, checkpoint: Optional[str] = None, model=None,
+                 allow_random: bool = False):
         if model is None:
             from sam_audio_tpu.models.clap import ClapModel
 
@@ -105,6 +137,10 @@ class CLAP:
 
                 model = ClapModel(ClapConfig(), load_params(checkpoint))
             else:
+                _require_weights(
+                    "CLAP", "convert laion_clap 630k-best.pt "
+                    "(scripts/convert_checkpoint.py clap) and pass "
+                    "checkpoint=", allow_random)
                 model = ClapModel.init_random(jax.random.PRNGKey(0))
         self.model = model
 
@@ -133,7 +169,10 @@ class CLAP:
 class ImageBind:
     """Audio<->video cosine (reference: eval/metrics/imagebind.py:12-52)."""
 
-    def __init__(self, checkpoint: Optional[str] = None, model=None):
+    keys = ("ImageBind",)
+
+    def __init__(self, checkpoint: Optional[str] = None, model=None,
+                 allow_random: bool = False):
         if model is None:
             from sam_audio_tpu.models.imagebind import ImageBindModel
 
@@ -142,6 +181,10 @@ class ImageBind:
 
                 model = load_imagebind_model(checkpoint)
             else:
+                _require_weights(
+                    "ImageBind", "convert imagebind_huge.pth "
+                    "(scripts/convert_checkpoint.py imagebind) and pass "
+                    "checkpoint=", allow_random)
                 model = ImageBindModel.init_random(jax.random.PRNGKey(0))
         self.model = model
 

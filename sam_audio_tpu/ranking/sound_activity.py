@@ -29,12 +29,6 @@ def _to_int16(wav: np.ndarray) -> np.ndarray:
     )
 
 
-def _rms(samples: np.ndarray) -> float:
-    if samples.size == 0:
-        return 0.0
-    return math.sqrt(float(np.mean(samples.astype(np.float64) ** 2)))
-
-
 def _ratio_to_db(ratio: float) -> float:
     if ratio <= 0:
         return -float("inf")
@@ -84,13 +78,23 @@ def detect_nonsilent(
 
     seg_len_ms = int(len(samples) * 1000 / _SAMPLE_RATE)
     if seg_len_ms < min_sil_ms:
-        return []
+        # pydub: a clip shorter than the minimum silence window can contain
+        # no silence, so the WHOLE clip is non-silent (detect_silence
+        # returns [] and detect_nonsilent complements it to [0, len]) — an
+        # empty return here would zero every sub-250 ms candidate's score
+        return ([(0.0, round(seg_len_ms / 1000, 3))] if seg_len_ms > 0
+                else [])
     threshold_amp = (10 ** (sil_threshold / 20)) * 32768.0
 
     # pydub: slide a min_sil_ms window by seek_step; window is silent if its
     # RMS is BELOW the threshold. Vectorized via cumulative sum of squares.
     last_start = seg_len_ms - min_sil_ms
     start_ms_arr = np.arange(0, last_start + 1, seek_step_ms)
+    if last_start % seek_step_ms:
+        # pydub guarantees the final window [last_start, seg_len] is always
+        # scanned even when last_start is not a multiple of seek_step —
+        # without it, trailing silence at an unaligned tail goes undetected
+        start_ms_arr = np.append(start_ms_arr, last_start)
     s_idx = (start_ms_arr * _SAMPLE_RATE // 1000).astype(np.int64)
     e_idx = ((start_ms_arr + min_sil_ms) * _SAMPLE_RATE // 1000).astype(np.int64)
     e_idx = np.minimum(e_idx, len(samples))

@@ -181,3 +181,40 @@ def test_make_dataset_unknown_setting_lists_choices():
 
     with pytest.raises(KeyError, match="unknown eval setting"):
         make_dataset("not-a-setting", cache_path="/tmp", collate_fn=None)
+
+
+def test_gather_handles_empty_rank_with_expected_keys():
+    """A rank with zero items (world > dataset size) must contribute a
+    same-shape vector to the collective: expected_keys pins the layout so
+    the allgather cannot wedge on mismatched shapes."""
+    rows_rank0 = [{"A": 1.0, "B": 3.0}, {"A": 3.0, "B": 5.0}]
+    rows_rank1 = []  # empty shard
+    vectors = []
+
+    def fake_allgather(local):
+        vectors.append(np.asarray(local))
+        if len(vectors) == 1:  # simulate rank 1's contribution
+            empty = gather_and_average_results(
+                rows_rank1, multihost=True, expected_keys=["A", "B"],
+                _allgather=lambda x: (vectors.append(np.asarray(x)),
+                                      np.stack(vectors))[1])
+            del empty
+        return np.stack(vectors)
+
+    avg = gather_and_average_results(rows_rank0, multihost=True,
+                                     expected_keys=["A", "B"],
+                                     _allgather=fake_allgather)
+    assert {v.shape for v in vectors} == {(3,)}  # identical layouts
+    assert avg == {"A": 2.0, "B": 4.0}  # count comes only from rank 0
+
+
+def test_default_metrics_refuse_random_weights():
+    """Eval metrics must never silently score with random init — the CLI
+    would print meaningless CLAPSimilarity/CE/CU/PC/PQ as if real."""
+    import pytest
+
+    from sam_audio_tpu.eval.metrics import CLAP, Aesthetic, ImageBind
+
+    for cls in (CLAP, Aesthetic, ImageBind):
+        with pytest.raises(ValueError, match="random"):
+            cls()

@@ -179,3 +179,34 @@ def test_predict_spans_fails_loud_without_predictor():
               audios=[np.zeros((1, 64), np.float32)])
     with pytest.raises(ValueError, match="span predictor"):
         model.separate(batch, predict_spans=True, rng=jax.random.PRNGKey(1))
+
+
+def test_detect_nonsilent_short_clip_is_whole_clip():
+    """pydub parity: a clip shorter than min_silence_len cannot contain
+    silence, so the WHOLE clip is non-silent — an empty result would zero
+    every sub-250 ms candidate's activity score."""
+    sr = 24000
+    wav = 0.3 * np.sin(2 * np.pi * 440 * np.arange(int(0.1 * sr)) / sr)
+    spans = detect_nonsilent(wav.astype(np.float32), sr)
+    assert spans == [(0.0, 0.1)]
+    # zero-length input stays empty
+    assert detect_nonsilent(np.zeros(0, np.float32), sr) == []
+    # and the score is non-degenerate for a short matching candidate
+    m = compute_iou_recall_precision(spans, [[0.0, 0.1]])
+    assert m["iou"] > 0.99
+
+
+def test_detect_nonsilent_scans_unaligned_final_window():
+    """pydub always scans the final [last_start, end] window even when
+    last_start is not a multiple of seek_step: trailing silence at an
+    unaligned tail must be detected."""
+    sr = 24000
+    total_ms = 1003  # last_start = 753, not a multiple of 10
+    n = int(total_ms * sr / 1000)
+    t = np.arange(n) / sr
+    wav = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    wav[int(0.753 * sr):] = 0.0  # silence only in the unaligned tail
+    spans = detect_nonsilent(wav, sr)
+    # the clip must NOT be reported non-silent to the very end
+    assert spans, "tone must be detected"
+    assert spans[-1][1] <= 0.76, spans
