@@ -71,21 +71,27 @@ def _ffmpeg_decode(path: str, sample_rate: Optional[int] = None,
             "Pre-convert to WAV."
         )
     sr = sample_rate
-    if sr is None and ffprobe is not None:
+    if ffprobe is not None and (sr is None or num_channels is None):
         out = subprocess.run(
             [ffprobe, "-v", "error", "-select_streams", "a:0", "-show_entries",
-             "stream=sample_rate", "-of", "csv=p=0", path],
+             "stream=sample_rate,channels", "-of", "csv=p=0", path],
             capture_output=True, text=True, check=True,
         ).stdout.strip()
-        sr = int(out) if out else 48000
+        parts = out.split(",") if out else []
+        if sr is None and parts and parts[0]:
+            sr = int(parts[0])
+        if num_channels is None and len(parts) > 1 and parts[1]:
+            num_channels = int(parts[1])
     sr = sr or 48000
-    cmd = [ffmpeg, "-v", "error", "-i", path, "-f", "f32le", "-ar", str(sr)]
-    if num_channels:
-        cmd += ["-ac", str(num_channels)]
-    cmd += ["-"]
+    # The output layout MUST match the reshape below: without -ac, ffmpeg
+    # emits the stream's native channel count and reshaping interleaved
+    # stereo as mono would return half-speed L,R,L,R garbage. When the
+    # channel count is unknown (no ffprobe), force a mono downmix.
+    ch = num_channels or 1
+    cmd = [ffmpeg, "-v", "error", "-i", path, "-f", "f32le", "-ar", str(sr),
+           "-ac", str(ch), "-"]
     raw = subprocess.run(cmd, capture_output=True, check=True).stdout
     data = np.frombuffer(raw, dtype="<f4")
-    ch = num_channels or 1
     return data.reshape(-1, ch).T.copy(), sr
 
 
@@ -97,5 +103,16 @@ def load_audio(path: str, sample_rate: Optional[int] = None) -> Tuple[np.ndarray
         try:
             return read_wav(path)
         except (wave.Error, ValueError):
-            pass  # exotic WAV (e.g. float64, adpcm) -> ffmpeg fallback
+            # stdlib wave rejects IEEE-float (fmt 3) and EXTENSIBLE WAVs;
+            # the native reader (runtime/wavio.cc) decodes those without
+            # ffmpeg — try it before requiring an external binary
+            try:
+                from sam_audio_tpu.runtime.native import read_wav_native
+
+                native = read_wav_native(path)
+                if native is not None:
+                    return native
+            except Exception:
+                pass
+            # anything else (float64, adpcm) -> ffmpeg fallback
     return _ffmpeg_decode(path, sample_rate=sample_rate)

@@ -33,6 +33,12 @@ def make_mesh(dp: Optional[int] = None, tp: int = 1, devices=None) -> Mesh:
     n = len(devices)
     if dp is None:
         dp = n // tp
+    if dp < 1 or tp < 1:
+        # dp = n // tp silently hits 0 when tp > n; an empty (0, tp) mesh
+        # would only fail later deep inside device_put with an obscure error
+        raise ValueError(
+            f"make_mesh: a {dp}x{tp} (dp x tp) mesh is impossible with {n} "
+            f"device(s) — tp must be <= the device count (and >= 1).")
     assert dp * tp <= n, f"mesh {dp}x{tp} needs {dp*tp} devices, have {n}"
     dev_array = np.asarray(devices[: dp * tp]).reshape(dp, tp)
     return Mesh(dev_array, axis_names=("dp", "tp"))

@@ -114,7 +114,10 @@ def read_wav_native(path: str) -> Optional[Tuple[np.ndarray, int]]:
     got = lib.wav_read_f32(path.encode(),
                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                            n)
-    if got < 0:
+    if got < 0 or got % max(ch.value, 1):
+        # got % ch != 0 means the data chunk was truncated mid-frame; honor
+        # the documented "None if unparsable" contract instead of letting
+        # reshape raise on callers that only check for None
         return None
     data = out[:got].reshape(-1, ch.value).T.copy()
     return data, sr.value
@@ -189,9 +192,13 @@ def plan_batches(lengths: List[int], hop: int, bucket_steps: int,
             out.append(order[pos : pos + sizes[b]].tolist())
             pos += sizes[b]
         return out, buckets[:nb].tolist()
-    # numpy fallback (same algorithm)
+    # numpy fallback (same algorithm, incl. the native guard for unit<=0:
+    # bucket_for_length returns lengths unchanged when hop*bucket_steps==0)
     unit = hop * bucket_steps
-    bucketed = [((l + unit - 1) // unit) * unit for l in lengths]
+    if unit <= 0:
+        bucketed = list(lengths)
+    else:
+        bucketed = [((l + unit - 1) // unit) * unit for l in lengths]
     idx = sorted(range(n), key=lambda i: (bucketed[i], i))
     batches, buckets_out = [], []
     i = 0

@@ -12,7 +12,10 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <map>
+#include <mutex>
 #include <numeric>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -57,6 +60,25 @@ Kernel build_kernel(int orig_freq, int new_freq, int lowpass_width = 6,
   return k;
 }
 
+// Per-(orig, new) kernel cache, mirroring the Python twin's lru_cache
+// (ops/resample._sinc_kernel): resample_native loops batch rows in Python
+// with one resample_f32 call per row, and rebuilding the O(phases * taps)
+// trig table per row erodes exactly the host throughput this path is for.
+const Kernel& cached_kernel(int orig_freq, int new_freq) {
+  static std::mutex mu;
+  static std::map<std::pair<int, int>, Kernel> cache;
+  std::lock_guard<std::mutex> lock(mu);
+  auto key = std::make_pair(orig_freq, new_freq);
+  auto it = cache.find(key);
+  if (it == cache.end()) {
+    // no eviction: entries are immutable after insert and std::map never
+    // invalidates references on insert, so returned refs stay valid for
+    // the process lifetime (realistic workloads see a handful of rates)
+    it = cache.emplace(key, build_kernel(orig_freq, new_freq)).first;
+  }
+  return it->second;
+}
+
 }  // namespace
 
 extern "C" {
@@ -75,7 +97,7 @@ long long resample_f32(const float* in, long long n_in, int orig_freq,
     memcpy(out, in, static_cast<size_t>(n) * 4);
     return n;
   }
-  Kernel k = build_kernel(orig_freq, new_freq);
+  const Kernel& k = cached_kernel(orig_freq, new_freq);
   long long target = resample_out_size(n_in, orig_freq, new_freq);
   if (target > max_out) target = max_out;
   // output sample m corresponds to phase p = m % nf, input frame

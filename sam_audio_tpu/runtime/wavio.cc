@@ -47,7 +47,22 @@ bool parse_header(FILE* f, WavInfo* info) {
       info->channels = ch;
       info->sample_rate = sr;
       info->bits = bits;
-      if (size > 16) fseek(f, size - 16, SEEK_CUR);
+      uint32_t consumed = 16;
+      if (fmt == 0xFFFE && size >= 40) {
+        // WAVE_FORMAT_EXTENSIBLE (ffmpeg >2ch, sox/DAW float WAVs): the
+        // effective format code is the first 2 bytes of the SubFormat GUID.
+        // Treating 0xFFFE as int PCM would reinterpret float bit patterns
+        // as int32 and return near-zero garbage with no error.
+        uint16_t cb, valid_bits, sub_fmt;
+        uint32_t mask;
+        if (fread(&cb, 2, 1, f) != 1) return false;
+        if (fread(&valid_bits, 2, 1, f) != 1) return false;
+        if (fread(&mask, 4, 1, f) != 1) return false;
+        if (fread(&sub_fmt, 2, 1, f) != 1) return false;
+        info->format = sub_fmt;
+        consumed = 26;
+      }
+      if (size > consumed) fseek(f, size - consumed, SEEK_CUR);
     } else if (memcmp(id, "data", 4) == 0) {
       info->data_offset = static_cast<uint32_t>(ftell(f));
       info->data_bytes = size;
@@ -100,6 +115,12 @@ long long wav_read_f32(const char* path, float* out, long long max_samples) {
   total = static_cast<long long>(got / bytes_per);
 
   const uint8_t* p = raw.data();
+  if (info.format != 1 && info.format != 3) {
+    return -4;  // unresolved/unknown codec (e.g. ADPCM) — never guess PCM
+  }
+  if (info.format == 3 && info.bits != 32) {
+    return -4;  // float64 etc. unsupported; fail instead of int-decoding
+  }
   if (info.format == 3 && info.bits == 32) {
     memcpy(out, p, static_cast<size_t>(total) * 4);
   } else if (info.bits == 16) {

@@ -27,13 +27,31 @@ def decode_video_frames(path: str) -> Tuple[np.ndarray, np.ndarray]:
     meta = json.loads(
         subprocess.run(
             [ffprobe, "-v", "error", "-select_streams", "v:0", "-show_entries",
-             "stream=width,height,r_frame_rate,nb_frames", "-of", "json", path],
+             "stream=width,height,r_frame_rate,avg_frame_rate,nb_frames,"
+             "duration", "-of", "json", path],
             capture_output=True, text=True, check=True,
         ).stdout
     )["streams"][0]
     w, h = int(meta["width"]), int(meta["height"])
-    num, den = (int(x) for x in meta["r_frame_rate"].split("/"))
-    fps = num / den
+
+    def _rate(field: str) -> float:
+        num, _, den = meta.get(field, "0/0").partition("/")
+        try:
+            return float(num) / float(den or 1)
+        except (ValueError, ZeroDivisionError):
+            return 0.0
+
+    # r_frame_rate can be "0/0" for streams with no declared rate (WebM/MKV
+    # captures); fall back to avg_frame_rate, then nb_frames/duration. The
+    # resulting pts are a CFR approximation (arange/fps) — for heavily
+    # variable-frame-rate content the true per-frame pts can diverge; the
+    # downstream nearest-frame mapping tolerates small drift.
+    fps = _rate("r_frame_rate") or _rate("avg_frame_rate")
+    if fps <= 0:
+        try:
+            fps = float(meta["nb_frames"]) / float(meta["duration"])
+        except (KeyError, ValueError, ZeroDivisionError):
+            fps = 25.0
     raw = subprocess.run(
         [ffmpeg, "-v", "error", "-i", path, "-f", "rawvideo", "-pix_fmt", "rgb24",
          "-"],

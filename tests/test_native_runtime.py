@@ -89,3 +89,103 @@ def test_plan_batches_fallback_matches_native():
         native._lib = lib
         native._load_failed = False
     assert a == b
+
+
+def _extensible_float32_wav(path, wav, sr):
+    """Hand-build a WAVE_FORMAT_EXTENSIBLE float32 WAV (what ffmpeg writes
+    for >2ch and sox/DAWs write for float) — stdlib `wave` rejects it."""
+    import struct
+
+    data = np.asarray(wav, np.float32).T.reshape(-1).tobytes()
+    ch = 1 if np.asarray(wav).ndim == 1 else np.asarray(wav).shape[0]
+    # fmt chunk: EXTENSIBLE (0xFFFE), cbSize=22, SubFormat GUID for
+    # IEEE_FLOAT (0x0003 + fixed suffix)
+    guid = struct.pack("<H", 3) + bytes.fromhex(
+        "000000001000800000aa00389b71")
+    fmt = struct.pack("<HHIIHHHHI", 0xFFFE, ch, sr, sr * ch * 4, ch * 4, 32,
+                      22, 32, 0) + guid
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE")
+        f.write(chunks)
+
+
+def test_native_reads_extensible_float32(lib_available, tmp_path):
+    """fmt tag 0xFFFE must resolve through the SubFormat GUID: decoding the
+    float bit patterns as int32 PCM used to return near-zero garbage."""
+    wav = (0.5 * np.sin(np.linspace(0, 40, 500))).astype(np.float32)
+    path = str(tmp_path / "ext.wav")
+    _extensible_float32_wav(path, wav, 16000)
+    loaded, sr = native.read_wav_native(path)
+    assert sr == 16000
+    np.testing.assert_allclose(loaded[0], wav, atol=1e-6)
+    # and load_audio serves it without ffmpeg via the native fallback
+    from sam_audio_tpu.audio_io import load_audio
+
+    loaded2, sr2 = load_audio(path)
+    np.testing.assert_allclose(loaded2[0], wav, atol=1e-6)
+
+
+def test_native_returns_none_for_truncated_wav(lib_available, tmp_path):
+    """A stereo WAV truncated mid-frame must honor the 'None if unparsable'
+    contract instead of raising inside reshape."""
+    from sam_audio_tpu.audio_io import write_wav
+
+    wav = np.zeros((2, 100), np.float32)
+    path = str(tmp_path / "t.wav")
+    write_wav(path, wav, 8000)
+    with open(path, "rb") as f:
+        blob = f.read()
+    with open(path, "wb") as f:
+        f.write(blob[:-2])  # drop one int16 sample -> odd sample count
+    assert native.read_wav_native(path) is None
+
+
+def test_ffmpeg_decode_preserves_stereo_layout(tmp_path):
+    """_ffmpeg_decode must NOT reshape interleaved multichannel output as
+    mono (half-speed L,R,L,R garbage): channels are probed and the layout
+    matches the reshape."""
+    import shutil as _sh
+
+    if _sh.which("ffmpeg") is None or _sh.which("ffprobe") is None:
+        pytest.skip("ffmpeg not available")
+    from sam_audio_tpu.audio_io import _ffmpeg_decode, write_wav
+
+    left = np.full(8000, 0.25, np.float32)
+    right = np.linspace(-0.5, 0.5, 8000, dtype=np.float32)
+    path = str(tmp_path / "st.wav")
+    write_wav(path, np.stack([left, right]), 8000)
+    out, sr = _ffmpeg_decode(path)
+    assert sr == 8000
+    assert out.shape[0] == 2
+    # channel identity preserved: L ~constant, R ~ramp
+    assert np.std(out[0]) < 0.01
+    assert np.std(out[1]) > 0.2
+
+
+def test_plan_batches_fallback_guards_zero_unit():
+    """hop*bucket_steps == 0: the native path returns lengths unchanged; the
+    numpy fallback must not divide by zero."""
+    lengths = [37, 250]
+    lib = native._lib
+    native._lib = None
+    native._load_failed = True
+    try:
+        batches, buckets = native.plan_batches(lengths, hop=0,
+                                               bucket_steps=4, max_batch=2)
+    finally:
+        native._lib = lib
+        native._load_failed = False
+    assert sorted(i for b in batches for i in b) == [0, 1]
+    assert set(buckets) == {37, 250}
+
+
+def test_make_mesh_rejects_impossible_tp():
+    import jax
+
+    from sam_audio_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    with pytest.raises(ValueError, match="impossible"):
+        make_mesh(tp=n * 2)
