@@ -187,3 +187,59 @@ def test_remat_dots_policy_matches_full():
     with pytest.raises(ValueError, match="remat policy"):
         Trainer(CFG, jax.tree_util.tree_map(jnp.copy, params),
                 remat="bogus").step(batch, rng)
+
+
+def test_flow_matching_learning_improves_generation():
+    """End-to-end proof that the training recipe LEARNS, not merely runs:
+    on a small fixed dataset the CFM objective is exactly recoverable (the
+    conditioning determines x1, so v*(x_t, t) = x1 - x0 is a function of the
+    inputs), so (a) the loss must collapse well below its init value and
+    (b) integrating the TRAINED velocity field from fresh noise must land
+    far closer to the memorized target latents than the init field does.
+    Guards against silent training bugs that keep every step finite (which
+    the other tests check) while learning nothing."""
+    from sam_audio_tpu.models.sam_audio import forward
+    from sam_audio_tpu.ops.ode import odeint
+
+    cfg = CFG
+    batch = synthetic_batch(cfg, jax.random.PRNGKey(4), batch_size=4,
+                            t_frames=8)
+    x1 = np.asarray(batch["target_latents"])
+
+    def generate(p, noise):
+        def vf(t, y):
+            return forward(
+                p, cfg, noisy_audio=y,
+                audio_features=batch["audio_features"],
+                text_features=batch["text_features"],
+                time=jnp.broadcast_to(t, (y.shape[0],)),
+                text_mask=batch["text_mask"],
+                anchor_ids=batch["anchor_ids"],
+                anchor_alignment=batch["anchor_alignment"],
+                audio_pad_mask=batch["audio_pad_mask"],
+                compute_dtype=jnp.float32,
+            ).astype(y.dtype)
+
+        return np.asarray(odeint(vf, noise, method="midpoint",
+                                 step_size=2 / 8))
+
+    # generation noise != any training draw: tests the field, not a replay
+    noise = np.asarray(jax.random.normal(jax.random.PRNGKey(5), x1.shape))
+    params = sam_audio_init(jax.random.PRNGKey(3), cfg)
+    mse_init = float(np.mean((generate(params, jnp.asarray(noise)) - x1) ** 2))
+
+    # Trainer donates state buffers — params must not be reused after this
+    trainer = Trainer(cfg, params, learning_rate=3e-3)
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for _ in range(200):
+        rng, sk = jax.random.split(rng)
+        losses.append(float(trainer.step(batch, sk)["loss"]))
+
+    head = float(np.mean(losses[:10]))
+    tail = float(np.mean(losses[-10:]))
+    assert tail < 0.25 * head, (head, tail)
+
+    mse_trained = float(np.mean(
+        (generate(trainer.state.params, jnp.asarray(noise)) - x1) ** 2))
+    assert mse_trained < 0.35 * mse_init, (mse_init, mse_trained)
