@@ -382,6 +382,23 @@ class SAMAudio:
 
         return load_sam_audio(model_id_or_path, **overrides)
 
+    def save_pretrained(self, out_dir: str) -> str:
+        """Write a self-contained snapshot (config.json + params.npz) that
+        `from_pretrained(out_dir)` loads back — the API symmetry the
+        reference's ModelHubMixin base declares but never implements (its
+        `_save_pretrained` hook is absent, reference base.py:11; snapshots
+        only ever come from the hub). Here the trainer/LoRA stack makes
+        locally-produced weights a first-class case.
+
+        Saves the CURRENT `self.params` — including quantized trees
+        (`quantize()`d w8/w4 leaves round-trip and serve as-is, at the
+        quantized footprint). Attached towers (rankers, vision encoder,
+        span predictor) live in their own artifacts and are not written.
+        """
+        from sam_audio_tpu.train.export import export_snapshot
+
+        return export_snapshot(self.cfg, self.params, out_dir)
+
     # -- helpers ------------------------------------------------------------
 
     @property

@@ -95,3 +95,45 @@ def test_strict_conversion_rejects_unconsumed_keys():
     convert_sam_audio_state_dict(sd, cfg)  # no raise
     sd["mystery_module.weight"] = sd[next(iter(sd))]
     convert_sam_audio_state_dict(sd, cfg, strict=False)  # no raise
+
+
+def test_save_pretrained_roundtrip_exact_separation(tmp_path):
+    """model.save_pretrained(dir) -> from_pretrained(dir) must reproduce the
+    source model's separation bit-exactly — including a quantize()d model,
+    whose w8 leaves round-trip through the npz snapshot and serve as-is."""
+    import jax.numpy as jnp
+
+    from sam_audio_tpu.models.sam_audio import SAMAudio
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    cfg = tiny_test_config()
+    model = SAMAudio.init_random(jax.random.PRNGKey(0), cfg)
+    proc = SAMAudioProcessor(audio_hop_length=model.hop_length,
+                             audio_sampling_rate=model.sample_rate)
+    wav = np.random.RandomState(0).randn(1, 4 * model.hop_length) \
+        .astype(np.float32) * 0.1
+    batch = proc(descriptions=["tone"], audios=[wav])
+    t_frames = batch.anchor_alignment.shape[-1]
+    noise = jnp.asarray(
+        np.random.RandomState(1).randn(
+            1, t_frames, 2 * cfg.audio_codec.codebook_dim), jnp.float32)
+    ref = model.separate(batch, noise=noise)
+
+    out = model.save_pretrained(str(tmp_path / "snap"))
+    loaded = SAMAudio.from_pretrained(out, allow_random_towers=True)
+    got = loaded.separate(proc(descriptions=["tone"], audios=[wav]),
+                          noise=noise)
+    np.testing.assert_array_equal(np.asarray(got.target[0]),
+                                  np.asarray(ref.target[0]))
+
+    # quantized tree round-trip: w8/w_scale leaves survive the npz and the
+    # loaded model dispatches straight onto the int8 path
+    model.quantize()
+    ref_q = model.separate(batch, noise=noise)
+    out_q = model.save_pretrained(str(tmp_path / "snap_q"))
+    loaded_q = SAMAudio.from_pretrained(out_q, allow_random_towers=True)
+    assert "w8" in loaded_q.params["transformer"]["layers"]["attention"]["wq"]
+    got_q = loaded_q.separate(proc(descriptions=["tone"], audios=[wav]),
+                              noise=noise)
+    np.testing.assert_array_equal(np.asarray(got_q.target[0]),
+                                  np.asarray(ref_q.target[0]))
