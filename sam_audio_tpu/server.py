@@ -845,7 +845,7 @@ class SeparationServer:
             self._serve_thread = None
 
 
-def _main(argv: Optional[Sequence[str]] = None):
+def main(argv: Optional[Sequence[str]] = None):
     import argparse
 
     ap = argparse.ArgumentParser(description="sam_audio_tpu online server")
@@ -917,4 +917,4 @@ def _main(argv: Optional[Sequence[str]] = None):
 
 
 if __name__ == "__main__":
-    _main()
+    main()
