@@ -426,6 +426,23 @@ class SAMAudio:
     def _tokenize(self, descriptions: List[str]):
         ids, mask = self.tokenizer(descriptions,
                                    max_length=self.cfg.text_encoder.max_length)
+        # `text_pad_multiple` (optional attr, set by the serving layers):
+        # round the longest-padded text width UP to a multiple, so every
+        # prompt under the bucket shares ONE jitted program. Longest-pad
+        # matches the reference (text_encoder.py:19-37) but makes the jit
+        # shape a function of the batch's longest description — a serving
+        # warmup can never cover it (found by mb_soak.py: the first real
+        # prompt longer than the warmup's paid a ~170 s on-thread compile).
+        # Exactness: pad columns carry mask=False, so T5 self-attention and
+        # the DiT's cross-attention exclude them bit-exactly.
+        m = int(getattr(self, "text_pad_multiple", 1) or 1)
+        ids = np.asarray(ids)
+        mask = np.asarray(mask)
+        if m > 1 and ids.shape[1] % m:
+            pad = m - ids.shape[1] % m
+            pad_id = int(getattr(self.tokenizer, "pad_id", 0))
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=pad_id)
+            mask = np.pad(mask, ((0, 0), (0, pad)))
         return jnp.asarray(ids), jnp.asarray(mask)
 
     def feature_idx_to_wav_idx(self, feature_idx):

@@ -139,7 +139,8 @@ class ContinuousBatcher:
                  long_policy: str = "reject",
                  max_stream_seconds: Optional[float] = 600.0,
                  streaming_window_s: float = 10.0,
-                 pad_batch_sizes: bool = True):
+                 pad_batch_sizes: bool = True,
+                 text_pad_to: Optional[int] = 64):
         """Overload / over-length policy (production-honest serving):
 
         max_queue — admission bound; submit() past this depth raises
@@ -162,8 +163,20 @@ class ContinuousBatcher:
           batch size (1, 2, 4, ... max_batch) by repeating the last item,
           so intermediate group sizes never trigger a fresh compile once
           `warmup()` has run; padded rows are dropped before reply.
+        text_pad_to — pin the tokenized-text width to multiples of this
+          (sets `model.text_pad_multiple`; pad columns are masked — exact up
+          to float reassociation in the wider reductions).
+          Without it the jit shape depends on each batch's LONGEST
+          description (reference longest-pad semantics), so the first
+          prompt longer than the warmup's would pay a full XLA compile ON
+          the device thread, stalling all traffic (observed as a ~170 s
+          p50 cliff in mb_soak.py). Prompts over `text_pad_to` tokens
+          round up to the next multiple — a rare, bounded compile. None
+          leaves the model's tokenization untouched.
         """
         self.model = model
+        if text_pad_to:
+            model.text_pad_multiple = int(text_pad_to)
         self.processor = processor or SAMAudioProcessor(
             audio_hop_length=model.hop_length,
             audio_sampling_rate=model.sample_rate,
@@ -872,6 +885,9 @@ def main(argv: Optional[Sequence[str]] = None):
                          "streamed requests run serially on the device "
                          "thread, so an uncapped clip would head-of-line "
                          "block all other traffic")
+    ap.add_argument("--text-pad-to", type=int, default=64,
+                    help="pin tokenized-text width to multiples of this so "
+                         "every prompt shares the warmed program (0 = off)")
     ap.add_argument("--int8", action="store_true")
     args = ap.parse_args(argv)
 
@@ -896,6 +912,7 @@ def main(argv: Optional[Sequence[str]] = None):
         max_stream_seconds=args.max_stream_seconds,
         streaming_window_s=(max(args.warmup_seconds)
                             if args.warmup_seconds else 10.0),
+        text_pad_to=args.text_pad_to or None,
         autostart=False)
     if args.warmup_seconds:
         # Exact-size warmup of the full (bucket, batch-grid) set, plus the

@@ -43,8 +43,15 @@ class SeparationPipeline:
                  max_batch: int = 4, bucket_seconds: float = 2.0,
                  reranking_candidates: int = 1, predict_spans: bool = False,
                  num_io_threads: int = 4, preview_nfe: Optional[int] = None,
-                 visual_stride: int = 1, pad_batch_sizes: bool = True):
+                 visual_stride: int = 1, pad_batch_sizes: bool = True,
+                 text_pad_to: Optional[int] = 64):
         self.model = model
+        # Pin tokenized-text width to a multiple (pad columns are masked;
+        # exact up to float reassociation) so the jit shape does not track
+        # each group's longest description — otherwise warmup() can never
+        # cover real prompts (see ContinuousBatcher.text_pad_to/mb_soak.py).
+        if text_pad_to:
+            model.text_pad_multiple = int(text_pad_to)
         self.processor = processor or SAMAudioProcessor(
             audio_hop_length=model.hop_length,
             audio_sampling_rate=model.sample_rate,

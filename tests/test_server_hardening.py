@@ -588,3 +588,66 @@ def test_separate_long_forwards_ode_opt():
     # the outer call saw `opt`; every window re-entry saw the SAME dict
     assert seen[0] == opt
     assert len(seen) > 1 and all(s == opt for s in seen[1:])
+
+
+# -- text-width pinning (found by mb_soak.py) --------------------------------
+
+
+def test_text_pad_multiple_preserves_exactness():
+    """Padded text columns are masked through T5 and the DiT cross-attention:
+    pinning the text width is semantics-preserving. Measured residual is pure
+    float reassociation from the wider masked reductions (~1 ulp, 2.4e-7 at
+    the latents), far under the 1e-3 waveform parity budget."""
+    from sam_audio_tpu.processor import SAMAudioProcessor
+
+    model = make_model()
+    proc = SAMAudioProcessor(audio_hop_length=model.hop_length,
+                             audio_sampling_rate=model.sample_rate)
+    wav = np.random.RandomState(0).randn(1, 4 * model.hop_length) \
+        .astype(np.float32) * 0.1
+    batch = proc(descriptions=["a dog"], audios=[wav])
+    noise = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (1, batch.anchor_alignment.shape[-1],
+         2 * model.cfg.audio_codec.codebook_dim))
+    ref = model.separate(batch, noise=noise)
+    model.text_pad_multiple = 32
+    ids, mask = model._tokenize(["a dog"])
+    assert ids.shape[1] == 32 and mask.shape == ids.shape
+    assert not np.asarray(mask)[:, -1].any()
+    got = model.separate(proc(descriptions=["a dog"], audios=[wav]),
+                         noise=noise)
+    np.testing.assert_allclose(np.asarray(got.target[0]),
+                               np.asarray(ref.target[0]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_warmup_covers_longer_prompts_no_recompile():
+    """With the default text_pad_to, a real prompt LONGER than the warmup
+    description must reuse the warmed program — before the fix the jit shape
+    tracked each batch's longest description and the first long prompt paid
+    a full on-thread XLA compile (mb_soak.py measured a ~170 s p50 cliff on
+    the relay-backed chip)."""
+    from sam_audio_tpu.models.sam_audio import separate_latents
+
+    batcher = make_batcher(autostart=False)
+    batcher.warmup(seconds=[0.01])
+    batcher.start()
+    try:
+        before = separate_latents._cache_size()
+        res = batcher.separate(
+            _req(desc="a much longer description of a dog barking far away"),
+            timeout=300)
+        assert res.target.shape == (64,)
+        assert separate_latents._cache_size() == before, (
+            "longer prompt compiled a new program despite text_pad_to")
+    finally:
+        batcher.shutdown()
+
+
+def test_text_pad_to_none_preserves_longest_pad():
+    """Opting out restores the reference's longest-pad tokenization."""
+    model = make_model()
+    ContinuousBatcher(model, autostart=False, text_pad_to=None)
+    ids, _ = model._tokenize(["abc"])
+    assert ids.shape[1] == 4  # 3 bytes + eos, no bucketing
